@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Throughput benchmark: SeLaVi train step clips/sec/chip on real hardware.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: the reference publishes no throughput numbers (SURVEY.md §6), so
+the recorded baseline is this framework's own round-1 measurement on a
+single TPU v5e chip (BASELINE.md). Flags allow probing other shapes.
+
+Measured config (reference VGG-Sound recipe, scripts/master.sh:80-106):
+R(2+1)D-18 + ResNet-9, 10 heads, 309 clusters, 30x112x112 video,
+257x99 audio spectrograms, bf16 compute, per-chip batch 16.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+# Round-1 recorded single-chip (TPU v5e) throughput; later rounds compare
+# against this. Updated when the measurement methodology changes.
+BASELINE_CLIPS_PER_SEC_PER_CHIP = None  # set after first real measurement
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--num_frames", type=int, default=30)
+    p.add_argument("--crop", type=int, default=112)
+    p.add_argument("--headcount", type=int, default=10)
+    p.add_argument("--clusters", type=int, default=309)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from selavi_tpu.models import load_model
+    from selavi_tpu.parallel.mesh import (
+        data_sharding,
+        make_mesh,
+        replicated_sharding,
+    )
+    from selavi_tpu.train.optim import make_optimizer
+    from selavi_tpu.train.state import create_train_state
+    from selavi_tpu.train.step import make_train_step
+
+    n_chips = len(jax.devices())
+    mesh = make_mesh()
+    dsh, rep = data_sharding(mesh), replicated_sharding(mesh)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    model = load_model(
+        headcount=args.headcount, num_classes=args.clusters, dtype=dtype
+    )
+    b = args.batch_size * n_chips
+    video = np.random.randint(
+        0, 255, (b, args.num_frames, args.crop, args.crop, 3), np.uint8
+    )
+    audio = np.random.randn(b, 257, 99, 1).astype(np.float32)
+    labels = np.random.randint(
+        0, args.clusters, (b, args.headcount)
+    ).astype(np.int32)
+
+    tx = make_optimizer(0.01, 1e-5, multiplier=float(n_chips),
+                        warmup_epochs=10, batches_per_epoch=100)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(
+        model, tx, rng, (2,) + video.shape[1:], (2,) + audio.shape[1:]
+    )
+    state = jax.device_put(state, rep)
+    batch = {
+        "video": jax.device_put(jnp.asarray(video), dsh),
+        "audio": jax.device_put(jnp.asarray(audio), dsh),
+    }
+    labels_d = jax.device_put(jnp.asarray(labels), dsh)
+    step = make_train_step(model, compute_dtype=dtype)
+
+    with mesh:
+        for _ in range(args.warmup):
+            state, metrics = step(state, batch, labels_d, rng)
+        jax.block_until_ready(metrics["loss"])
+
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, metrics = step(state, batch, labels_d, rng)
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
+
+    clips_per_sec = args.steps * b / dt
+    per_chip = clips_per_sec / n_chips
+    vs_baseline = (
+        per_chip / BASELINE_CLIPS_PER_SEC_PER_CHIP
+        if BASELINE_CLIPS_PER_SEC_PER_CHIP
+        else 1.0
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "train_clips_per_sec_per_chip",
+                "value": round(per_chip, 2),
+                "unit": "clips/s/chip",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

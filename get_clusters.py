@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Cluster-assignment dump CLI (reference /root/reference/get_clusters.py
+surface): load a checkpoint, run center-crop inference over the dataset,
+dump [PS_v_heads, labels, PS_a_heads]."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from selavi_tpu.config import bool_flag
+from selavi_tpu.data.dataset import NUM_CLUSTERS
+from selavi_tpu.data.loader import DataLoader, device_prefetch
+from selavi_tpu.eval.get_clusters import dump_cluster_matrices
+from selavi_tpu.models import load_model
+from selavi_tpu.parallel.mesh import data_sharding, make_mesh
+from selavi_tpu.train.checkpoint import load_model_parameters
+from selavi_tpu.train.optim import make_optimizer
+from selavi_tpu.train.state import create_train_state
+from selavi_tpu.train.step import make_encode_fn, make_head_logits_fn
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Get cluster assignments")
+    parser.register("type", "bool", bool_flag)
+    parser.add_argument("--ds_name", type=str, default="vggsound")
+    parser.add_argument("--root_dir", type=str, default="/path/to/dataset")
+    parser.add_argument("--data_path", type=str, default="datasets/data")
+    parser.add_argument("--mode", type=str, default="train")
+    parser.add_argument("--weights_path", type=str, required=True)
+    parser.add_argument("--output_path", type=str, default="ps_matrices.pkl")
+    parser.add_argument("--num_frames", type=int, default=30)
+    parser.add_argument("--target_fps", type=int, default=30)
+    parser.add_argument("--train_crop_size", type=int, default=112)
+    parser.add_argument("--num_sec_aud", type=int, default=1)
+    parser.add_argument("--aud_sample_rate", type=int, default=48000)
+    parser.add_argument("--aud_spec_type", type=int, default=2)
+    parser.add_argument("--z_normalize", type="bool", default="True")
+    parser.add_argument("--headcount", type=int, default=10)
+    parser.add_argument("--use_mlp", type="bool", default="True")
+    parser.add_argument("--mlp_dim", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--workers", type=int, default=8)
+    parser.add_argument("--num_data_samples", type=int, default=None)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    k = args.mlp_dim or NUM_CLUSTERS.get(args.ds_name, 309)
+
+    if args.ds_name == "synthetic":
+        from selavi_tpu.data.synthetic import SyntheticAVDataset
+
+        dataset = SyntheticAVDataset(
+            num_samples=args.num_data_samples or 64,
+            num_frames=args.num_frames,
+            aud_sample_rate=args.aud_sample_rate,
+            aud_spec_type=args.aud_spec_type,
+        )
+    else:
+        from selavi_tpu.data.dataset import AVideoDataset
+
+        dataset = AVideoDataset(
+            ds_name=args.ds_name,
+            root_dir=args.root_dir,
+            mode=args.mode,
+            path_to_data_dir=args.data_path,
+            num_frames=args.num_frames,
+            target_fps=args.target_fps,
+            train_crop_size=args.train_crop_size,
+            num_data_samples=args.num_data_samples,
+            num_sec=args.num_sec_aud,
+            aud_sample_rate=args.aud_sample_rate,
+            aud_spec_type=args.aud_spec_type,
+            z_normalize=args.z_normalize,
+            center_crop=True,
+            temp_jitter=False,
+        )
+
+    model = load_model(headcount=args.headcount, num_classes=k,
+                       use_mlp=args.use_mlp)
+    example = dataset.get_example(0, np.random.default_rng(0))
+    tx = make_optimizer(0.01, 0.0)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0),
+        (2,) + example["video"].shape,
+        (2,) + example["audio"].shape + (1,),
+    )
+    state = load_model_parameters(state, args.weights_path)
+
+    mesh = make_mesh()
+    dsh = data_sharding(mesh)
+    encode = make_encode_fn(model)
+    head_logits = make_head_logits_fn(model)
+
+    loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=False,
+                        drop_last=False, num_workers=args.workers)
+    batches = device_prefetch(iter(loader), sharding=dsh)
+
+    dump_cluster_matrices(
+        lambda v, a: encode(state.params, state.batch_stats, v, a),
+        lambda f, m: head_logits(state.params, state.batch_stats, f, m),
+        batches,
+        len(dataset),
+        args.output_path,
+    )
+    print(f"wrote {args.output_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""Audio frontend: waveform -> log filterbank spectrogram.
+
+Capability parity with /root/reference/datasets/audio_utils.py:14-112:
+clip slicing at the video clip's start second (clamped to file end),
+temporal jitter (+-0.5 s), volume jitter (x U(0.9, 1.1)), log filterbank
+with ``winlen=0.02, winstep=0.01, nfft=1024`` and ``nfilt`` 40 (spec type 1)
+or 257 (spec type 2), transposed to ``[nfilt, T]`` (T = 99 frames per second
+at any sample rate), optional z-normalization ``(x - 1.93) / 17.89``.
+
+The filterbank itself reimplements the published python_speech_features
+algorithm (preemphasis 0.97, zero-padded rectangular-window framing,
+``|rfft|^2 / nfft`` power spectrum, triangular mel filters, eps-floored log)
+— that library is a dependency of the reference, not available here, and its
+semantics must match for the reference z-norm constants to stay valid.
+
+A batched JAX version for on-device spectrograms lives in
+``selavi_tpu.ops.logmel`` (framing is a gather, mel projection is an MXU
+matmul); this module is the host/NumPy reference used by the data loader
+and by parity tests.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+
+def hz2mel(hz):
+    return 2595.0 * np.log10(1.0 + np.asarray(hz, np.float64) / 700.0)
+
+
+def mel2hz(mel):
+    return 700.0 * (10.0 ** (np.asarray(mel, np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(
+    nfilt: int,
+    nfft: int,
+    samplerate: int,
+    lowfreq: float = 0.0,
+    highfreq: Optional[float] = None,
+) -> np.ndarray:
+    """Triangular mel filterbank, shape [nfilt, nfft//2 + 1]."""
+    highfreq = highfreq or samplerate / 2.0
+    lowmel, highmel = hz2mel(lowfreq), hz2mel(highfreq)
+    melpoints = np.linspace(lowmel, highmel, nfilt + 2)
+    bins = np.floor((nfft + 1) * mel2hz(melpoints) / samplerate).astype(int)
+
+    fbank = np.zeros((nfilt, nfft // 2 + 1))
+    for j in range(nfilt):
+        for i in range(bins[j], bins[j + 1]):
+            fbank[j, i] = (i - bins[j]) / max(bins[j + 1] - bins[j], 1)
+        for i in range(bins[j + 1], bins[j + 2]):
+            fbank[j, i] = (bins[j + 2] - i) / max(
+                bins[j + 2] - bins[j + 1], 1
+            )
+    return fbank
+
+
+def frame_count(slen: int, frame_len: int, frame_step: int) -> int:
+    if slen <= frame_len:
+        return 1
+    return 1 + int(math.ceil((1.0 * slen - frame_len) / frame_step))
+
+
+def _round_half_up(x: float) -> int:
+    return int(math.floor(x + 0.5))
+
+
+def frame_signal(
+    signal: np.ndarray, frame_len: int, frame_step: int
+) -> np.ndarray:
+    """Zero-padded overlapping frames [num_frames, frame_len]."""
+    slen = len(signal)
+    numframes = frame_count(slen, frame_len, frame_step)
+    padlen = (numframes - 1) * frame_step + frame_len
+    padded = np.concatenate(
+        [signal, np.zeros(padlen - slen, dtype=signal.dtype)]
+    )
+    idx = (
+        np.arange(frame_len)[None, :]
+        + np.arange(numframes)[:, None] * frame_step
+    )
+    return padded[idx]
+
+
+def preemphasis(signal: np.ndarray, coeff: float = 0.97) -> np.ndarray:
+    return np.concatenate([signal[:1], signal[1:] - coeff * signal[:-1]])
+
+
+def logfbank(
+    signal: np.ndarray,
+    samplerate: int = 16000,
+    winlen: float = 0.02,
+    winstep: float = 0.01,
+    nfilt: int = 40,
+    nfft: int = 1024,
+    lowfreq: float = 0.0,
+    highfreq: Optional[float] = None,
+    preemph: float = 0.97,
+) -> np.ndarray:
+    """Log mel filterbank energies, shape [num_frames, nfilt]."""
+    signal = np.asarray(signal, np.float64)
+    signal = preemphasis(signal, preemph)
+    frame_len = _round_half_up(winlen * samplerate)
+    frame_step = _round_half_up(winstep * samplerate)
+    frames = frame_signal(signal, frame_len, frame_step)
+    spec = np.fft.rfft(frames, nfft)
+    pspec = (1.0 / nfft) * np.abs(spec) ** 2
+    fb = mel_filterbank(nfilt, nfft, samplerate, lowfreq, highfreq)
+    feat = pspec @ fb.T
+    feat = np.where(feat == 0, np.finfo(np.float64).eps, feat)
+    return np.log(feat)
+
+
+def get_spec(
+    wav: np.ndarray,
+    fr_sec: float,
+    num_sec: int = 1,
+    sample_rate: int = 48000,
+    aud_spec_type: int = 1,
+    use_volume_jittering: bool = False,
+    use_temporal_jittering: bool = False,
+    z_normalize: bool = False,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Slice + augment + spectrogram. Returns [1, nfilt, T] float32.
+
+    Mirrors /root/reference/datasets/audio_utils.py:14-74 exactly, with
+    explicit RNG instead of the numpy global.
+    """
+    if rng is None:
+        rng = np.random.default_rng()
+    if use_temporal_jittering:
+        fr_sec = fr_sec + rng.uniform(-0.5, 0.5)
+
+    fr_aud = int(np.round(fr_sec * sample_rate))
+    to_aud = int(np.round(fr_sec * sample_rate) + sample_rate * num_sec)
+    if fr_aud + (to_aud - fr_aud) > len(wav):
+        fr_aud = len(wav) - sample_rate * num_sec
+        to_aud = len(wav)
+    wav = wav[fr_aud:to_aud]
+
+    if use_volume_jittering:
+        wav = wav * rng.uniform(0.9, 1.1)
+
+    nfilt = 40 if aud_spec_type == 1 else 257
+    spec = logfbank(
+        wav, sample_rate, winlen=0.02, winstep=0.01, nfilt=nfilt, nfft=1024
+    )
+    spec = spec.astype(np.float32).T[None, :, :]  # [1, nfilt, T]
+    if z_normalize:
+        spec = (spec - 1.93) / 17.89
+    return spec
+
+
+def spec_num_frames(num_sec: int, sample_rate: int) -> int:
+    """Spectrogram time dimension for a clip of ``num_sec`` seconds."""
+    frame_len = _round_half_up(0.02 * sample_rate)
+    frame_step = _round_half_up(0.01 * sample_rate)
+    return frame_count(num_sec * sample_rate, frame_len, frame_step)

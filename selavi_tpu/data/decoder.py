@@ -1,0 +1,189 @@
+"""Video/audio decode: clip sampling math + gated decode backends.
+
+Capability parity with /root/reference/datasets/decoder.py:
+
+* ``get_start_end_idx`` (:41-69) — random clip (clip_idx == -1) or uniform
+  test clip positions;
+* ``temporal_sampling`` (:21-38) — linspace frame resampling;
+* selective PyAV decode with PTS-window seeking (:72-111,190-265) — behind
+  an availability gate (PyAV/FFmpeg are optional host deps; this
+  environment has neither, so the synthetic backend drives tests).
+
+Backends return raw frames ``[T, H, W, 3] uint8`` + mono PCM float/int16;
+spatial transforms and spectrograms are applied downstream.
+"""
+
+from __future__ import annotations
+
+import math
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def have_pyav() -> bool:
+    try:
+        import av  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def have_ffmpeg() -> bool:
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
+
+
+def get_start_end_idx(
+    video_size: int,
+    clip_size: float,
+    clip_idx: int,
+    num_clips: int,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[float, float]:
+    """Start/end frame indices for the sampled clip (reference :41-69)."""
+    delta = max(video_size - clip_size, 0)
+    if clip_idx == -1:
+        if rng is None:
+            rng = np.random.default_rng()
+        start_idx = rng.uniform(0, delta)
+    else:
+        start_idx = int(delta * clip_idx / num_clips)
+    end_idx = start_idx + clip_size - 1
+    return start_idx, end_idx
+
+
+def temporal_sampling(
+    frames: np.ndarray, start_idx: float, end_idx: float, num_samples: int
+) -> np.ndarray:
+    """Evenly resample ``num_samples`` frames in [start, end]
+    (reference :21-38; same linspace + clamp + index-select)."""
+    index = np.linspace(start_idx, end_idx, num_samples)
+    index = np.clip(index, 0, frames.shape[0] - 1).astype(np.int64)
+    return frames[index]
+
+
+def clip_seconds(
+    start_idx: float, fps: float
+) -> float:
+    """Clip start time in seconds (for audio alignment,
+    reference decoder.py:272-295)."""
+    return start_idx / fps if fps > 0 else 0.0
+
+
+def decode_pyav(
+    path: str,
+    sampling_rate: int,
+    num_frames: int,
+    clip_idx: int,
+    num_clips: int,
+    target_fps: int = 30,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[Optional[np.ndarray], float, float]:
+    """Selective PyAV decode. Returns (frames [T,H,W,3] u8, fps, start_sec).
+
+    Seeks to the clip PTS window with a 1024-pts margin like the reference
+    (decoder.py:90-95) so only the needed packets are decoded.
+    """
+    import av
+
+    with av.open(path) as container:
+        stream = container.streams.video[0]
+        fps = float(stream.average_rate)
+        frames_length = stream.frames
+        duration = stream.duration
+
+        clip_size = sampling_rate * num_frames / target_fps * fps
+        if duration is None or frames_length == 0:
+            # unknown length: decode everything
+            start_idx, end_idx = 0.0, math.inf
+            video_start_pts, video_end_pts = 0, math.inf
+        else:
+            start_idx, end_idx = get_start_end_idx(
+                frames_length, clip_size, clip_idx, num_clips, rng
+            )
+            pts_per_frame = duration / frames_length
+            video_start_pts = int(start_idx * pts_per_frame)
+            video_end_pts = int(end_idx * pts_per_frame)
+
+        margin = 1024
+        seek_offset = max(video_start_pts - margin, 0)
+        container.seek(
+            int(seek_offset), any_frame=False, backward=True, stream=stream
+        )
+        video_frames = {}
+        for frame in container.decode(video=0):
+            if frame.pts is None:
+                continue
+            if frame.pts < video_start_pts:
+                continue
+            if frame.pts <= video_end_pts:
+                video_frames[frame.pts] = frame
+            else:
+                video_frames[frame.pts] = frame
+                break
+        if not video_frames:
+            return None, fps, 0.0
+        arr = np.stack(
+            [
+                f.to_rgb().to_ndarray()
+                for _, f in sorted(video_frames.items())
+            ]
+        )
+    # resample decoded window to num_frames
+    clip_frames = temporal_sampling(
+        arr, 0, arr.shape[0] - 1, num_frames
+    )
+    start_sec = clip_seconds(start_idx, fps)
+    return clip_frames, fps, start_sec
+
+
+def decode_audio_ffmpeg(
+    path: str, sample_rate: int
+) -> Optional[np.ndarray]:
+    """Full-file mono s16 PCM decode via the ffmpeg binary (the reference
+    shells out through ffmpeg-python the same way, audio_utils.py:89-98)."""
+    if not have_ffmpeg():
+        return None
+    cmd = [
+        "ffmpeg", "-nostdin", "-i", path,
+        "-f", "s16le", "-acodec", "pcm_s16le", "-ac", "1",
+        "-ar", str(sample_rate), "-",
+    ]
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, check=True
+        ).stdout
+    except subprocess.CalledProcessError:
+        return None
+    return np.frombuffer(out, np.int16)
+
+
+def probe_valid(path: str, min_duration: float = 1.1) -> bool:
+    """Audio-validity probe (reference AVideoDataset.py:78-103): file has an
+    audio stream and duration > min_duration seconds."""
+    import json
+    import shutil
+
+    if shutil.which("ffprobe") is None:
+        return True  # cannot probe; assume valid
+    try:
+        out = subprocess.run(
+            [
+                "ffprobe", "-v", "quiet", "-print_format", "json",
+                "-show_streams", "-show_format", path,
+            ],
+            capture_output=True,
+            check=True,
+        ).stdout
+        meta = json.loads(out)
+    except Exception:
+        return False
+    has_audio = any(
+        s.get("codec_type") == "audio" for s in meta.get("streams", [])
+    )
+    duration = float(meta.get("format", {}).get("duration", 0.0))
+    return has_audio and duration > min_duration

@@ -1,0 +1,140 @@
+"""Batch loader: host workers -> pinned numpy batches -> sharded device puts.
+
+The reference uses torch DataLoader with 10 fork workers
+(/root/reference/main.py:94-101). TPU-native equivalent: a thread-pool
+loader (decode/transform code is numpy/PIL which releases the GIL for the
+heavy parts) producing fixed-shape numpy batches, plus a device prefetcher
+that keeps ``prefetch`` batches in flight on the mesh so host decode overlaps
+device compute (double buffering over HBM).
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures as cf
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+
+class DataLoader:
+    """Map-style loader. ``dataset.get_example(idx, rng) -> dict`` of numpy.
+
+    Yields dict batches with a leading batch axis; ``set_epoch`` reshuffles
+    deterministically (the reference's DistributedSampler.set_epoch).
+    Model-facing layouts are produced here: video ``[B,T,H,W,3] uint8``,
+    audio ``[B,F,T,1] float32``.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 0,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if not self.shuffle:
+            return np.arange(n)
+        rng = np.random.default_rng((self.seed, self.epoch))
+        return rng.permutation(n)
+
+    def _collate(self, examples) -> dict:
+        batch = {}
+        video = np.stack([e["video"] for e in examples])
+        audio = np.stack([e["audio"] for e in examples])[..., None]
+        batch["video"] = video
+        batch["audio"] = audio.astype(np.float32)
+        batch["label"] = np.asarray(
+            [e["label"] for e in examples], np.int32
+        )
+        batch["index"] = np.asarray(
+            [e["index"] for e in examples], np.int32
+        )
+        batch["vid_idx"] = np.asarray(
+            [e["vid_idx"] for e in examples], np.int32
+        )
+        return batch
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self._order()
+        n = len(order)
+        bs = self.batch_size
+        starts = range(0, n - bs + 1 if self.drop_last else n, bs)
+
+        def fetch(i, pos):
+            rng = np.random.default_rng((self.seed, self.epoch, int(i)))
+            return self.dataset.get_example(int(i), rng)
+
+        if self.num_workers <= 0:
+            for s in starts:
+                idxs = order[s : s + bs]
+                yield self._collate(
+                    [fetch(i, s + j) for j, i in enumerate(idxs)]
+                )
+        else:
+            with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                pending = collections.deque()
+                starts = list(starts)
+                depth = max(2, self.num_workers // 2)
+                it = iter(starts)
+
+                def submit(s):
+                    idxs = order[s : s + bs]
+                    return [
+                        pool.submit(fetch, i, s + j)
+                        for j, i in enumerate(idxs)
+                    ]
+
+                for s in starts[:depth]:
+                    pending.append(submit(s))
+                consumed = 0
+                while pending:
+                    futs = pending.popleft()
+                    consumed += 1
+                    if consumed + len(pending) <= len(starts) - 1:
+                        nxt = starts[consumed + len(pending)]
+                        pending.append(submit(nxt))
+                    yield self._collate([f.result() for f in futs])
+
+
+def device_prefetch(
+    batch_iter: Iterator[dict],
+    sharding=None,
+    depth: int = 2,
+) -> Iterator[dict]:
+    """Keep ``depth`` batches in flight on device (double buffering)."""
+    queue: collections.deque = collections.deque()
+
+    def put(b):
+        if sharding is None:
+            return jax.tree.map(jax.device_put, b)
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), b)
+
+    for batch in batch_iter:
+        queue.append(put(batch))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -1,0 +1,132 @@
+"""Synthetic audio-visual dataset: correlated modalities, known clusters.
+
+The reference has no tests; SURVEY.md §4 calls for a synthetic in-memory AV
+dataset (random frames + sine-wave audio) to smoke the full training loop
+without media files or decode libraries. Each sample's class drives both a
+visual signature (colored moving square on textured background) and an
+audio signature (class-specific sine frequency), so self-labeling has real
+cross-modal structure to discover.
+
+Deterministic per (index, clip draw): content depends only on the index and
+the RNG handed in, so eval re-reads are reproducible.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from selavi_tpu.data.audio import get_spec
+
+
+class SyntheticAVDataset:
+    """Map-style dataset yielding the same tuple contract as the reference's
+    ``AVideoDataset.__getitem__`` (/root/reference/datasets/AVideoDataset.py:
+    355-454): ``(frames, spec, label, index, vid_idx)``."""
+
+    def __init__(
+        self,
+        num_samples: int = 64,
+        num_classes: int = 8,
+        num_frames: int = 8,
+        crop_size: int = 64,
+        num_sec: int = 1,
+        aud_sample_rate: int = 24000,
+        aud_spec_type: int = 1,
+        z_normalize: bool = False,
+        seed: int = 0,
+        mode: str = "train",
+    ):
+        self.num_samples = num_samples
+        self.num_classes = num_classes
+        self.num_frames = num_frames
+        self.crop_size = crop_size
+        self.num_sec = num_sec
+        self.aud_sample_rate = aud_sample_rate
+        self.aud_spec_type = aud_spec_type
+        self.z_normalize = z_normalize
+        self.mode = mode
+        self.name = "synthetic"
+        base = np.random.default_rng(seed)
+        self._labels = base.integers(
+            0, num_classes, size=num_samples
+        ).astype(np.int64)
+        # per-sample appearance variation
+        self._phase = base.uniform(0, 2 * np.pi, size=num_samples)
+        self.valid_indices = np.arange(num_samples)
+
+    def __len__(self):
+        return self.num_samples
+
+    @property
+    def labels(self) -> np.ndarray:
+        return self._labels
+
+    def spec_shape(self):
+        nfilt = 40 if self.aud_spec_type == 1 else 257
+        from selavi_tpu.data.audio import spec_num_frames
+
+        return (nfilt, spec_num_frames(self.num_sec, self.aud_sample_rate))
+
+    def get_example(
+        self, idx: int, rng: Optional[np.random.Generator] = None
+    ) -> dict:
+        if rng is None:
+            rng = np.random.default_rng(idx)
+        label = int(self._labels[idx])
+        c = self.crop_size
+        t = self.num_frames
+
+        # --- video: class-colored square orbiting at class-dependent speed
+        hue = label / self.num_classes
+        color = np.array(
+            [
+                0.5 + 0.5 * np.sin(2 * np.pi * hue),
+                0.5 + 0.5 * np.sin(2 * np.pi * hue + 2.1),
+                0.5 + 0.5 * np.sin(2 * np.pi * hue + 4.2),
+            ]
+        )
+        frames = rng.uniform(0, 0.15, size=(t, c, c, 3))
+        radius = c // 4
+        sq = max(c // 8, 2)
+        speed = 1.0 + label
+        for f in range(t):
+            ang = self._phase[idx] + speed * f / t * 2 * np.pi
+            cy = int(c / 2 + radius * np.sin(ang))
+            cx = int(c / 2 + radius * np.cos(ang))
+            y0, y1 = max(cy - sq, 0), min(cy + sq, c)
+            x0, x1 = max(cx - sq, 0), min(cx + sq, c)
+            frames[f, y0:y1, x0:x1, :] = color
+        video = (frames * 255).astype(np.uint8)
+
+        # --- audio: class-frequency sine + harmonics, int16 scale
+        sr = self.aud_sample_rate
+        dur = self.num_sec + 1  # file longer than the clip, like real videos
+        tt = np.arange(dur * sr) / sr
+        f0 = 110.0 * (2.0 ** (label / 2.0))
+        wav = (
+            0.6 * np.sin(2 * np.pi * f0 * tt + self._phase[idx])
+            + 0.3 * np.sin(2 * np.pi * 2 * f0 * tt)
+            + 0.05 * rng.standard_normal(len(tt))
+        )
+        wav = (wav * 8000).astype(np.float64)
+
+        fr_sec = rng.uniform(0, dur - self.num_sec)
+        spec = get_spec(
+            wav,
+            fr_sec,
+            num_sec=self.num_sec,
+            sample_rate=sr,
+            aud_spec_type=self.aud_spec_type,
+            z_normalize=self.z_normalize,
+            rng=rng,
+        )  # [1, nfilt, T]
+
+        return {
+            "video": video,  # [T, H, W, 3] uint8
+            "audio": spec[0].astype(np.float32),  # [nfilt, T]
+            "label": label,
+            "index": idx,
+            "vid_idx": idx,
+        }

@@ -1,0 +1,125 @@
+"""Host-side spatial transforms: resize / crop index math.
+
+Capability parity with /root/reference/datasets/video_transforms.py
+(scale jitter :35-79, random crop :101-134, uniform test crops :167-210,
+center crop, spatial_sampling entry :420-467). These run on the host because
+they involve data-dependent shapes; the elementwise augmentations (flip,
+color jitter, grayscale, normalize) run fused on device
+(selavi_tpu.ops.preprocess).
+
+Frames are numpy uint8 ``[T, H, W, C]`` throughout; bilinear resize uses
+PIL per frame (decode-time cost, amortized across loader workers).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def _resize_frames(frames: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
+    from PIL import Image
+
+    t = frames.shape[0]
+    out = np.empty((t, new_h, new_w, frames.shape[3]), np.uint8)
+    for i in range(t):
+        out[i] = np.asarray(
+            Image.fromarray(frames[i]).resize(
+                (new_w, new_h), Image.BILINEAR
+            )
+        )
+    return out
+
+
+def random_short_side_scale_jitter(
+    frames: np.ndarray,
+    min_size: int,
+    max_size: int,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """Resize so the short side equals a uniform draw in [min, max]
+    (reference video_transforms.py:35-79)."""
+    size = int(round(rng.uniform(min_size, max_size)))
+    t, h, w, _ = frames.shape
+    if (w <= h and w == size) or (h <= w and h == size):
+        return frames
+    if w < h:
+        new_w, new_h = size, int(np.floor(h / w * size))
+    else:
+        new_w, new_h = int(np.floor(w / h * size)), size
+    return _resize_frames(frames, new_h, new_w)
+
+
+def resize_short_side(frames: np.ndarray, size: int) -> np.ndarray:
+    t, h, w, _ = frames.shape
+    if w < h:
+        new_w, new_h = size, int(np.floor(h / w * size))
+    else:
+        new_w, new_h = int(np.floor(w / h * size)), size
+    if (new_h, new_w) == (h, w):
+        return frames
+    return _resize_frames(frames, new_h, new_w)
+
+
+def random_crop(
+    frames: np.ndarray, size: int, rng: np.random.Generator
+) -> np.ndarray:
+    t, h, w, _ = frames.shape
+    y = 0 if h == size else int(rng.integers(0, h - size + 1))
+    x = 0 if w == size else int(rng.integers(0, w - size + 1))
+    return frames[:, y : y + size, x : x + size, :]
+
+
+def uniform_crop(
+    frames: np.ndarray, size: int, spatial_idx: int
+) -> np.ndarray:
+    """Test-time 3-crop: 0/1/2 = left-or-top / center / right-or-bottom
+    (reference video_transforms.py:167-210)."""
+    assert spatial_idx in (0, 1, 2)
+    t, h, w, _ = frames.shape
+    y = int(np.ceil((h - size) / 2))
+    x = int(np.ceil((w - size) / 2))
+    if h > w:
+        y = 0 if spatial_idx == 0 else (h - size if spatial_idx == 2 else y)
+    else:
+        x = 0 if spatial_idx == 0 else (w - size if spatial_idx == 2 else x)
+    return frames[:, y : y + size, x : x + size, :]
+
+
+def center_crop(frames: np.ndarray, size: int) -> np.ndarray:
+    return uniform_crop(frames, size, 1)
+
+
+def spatial_sampling(
+    frames: np.ndarray,
+    spatial_idx: int = -1,
+    min_scale: int = 128,
+    max_scale: int = 160,
+    crop_size: int = 112,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Train (spatial_idx == -1): scale jitter + random crop.
+    Test (0/1/2): fixed short-side resize + uniform crop.
+    (reference video_transforms.py:420-467; flips happen on device.)
+    """
+    if spatial_idx == -1:
+        assert rng is not None
+        frames = random_short_side_scale_jitter(
+            frames, min_scale, max_scale, rng
+        )
+        frames = random_crop(frames, crop_size, rng)
+    else:
+        frames = resize_short_side(frames, min_scale)
+        frames = uniform_crop(frames, crop_size, spatial_idx)
+    return frames
+
+
+def train_scale_range(crop_size: int) -> Tuple[int, int]:
+    """Scale-jitter range by crop size (reference AVideoDataset.py:213-217:
+    128-160 for 112 crops, 256-320 for 224 crops)."""
+    if crop_size == 112:
+        return 128, 160
+    if crop_size == 224:
+        return 256, 320
+    return int(crop_size * 128 / 112), int(crop_size * 160 / 112)

@@ -1,0 +1,80 @@
+"""Cluster-assignment dump: full-dataset head activations -> pickle.
+
+Capability parity with /root/reference/get_clusters.py:57-162: run the model
+(eval mode, center-crop, no jitter) over a dataset, aggregate pooled
+features, apply every head, and dump ``[PS_v_heads, labels, PS_a_heads]`` —
+the same pickle schema the reference's ``clustering_metrics.py`` consumes,
+so dumps are cross-checkable against the PyTorch reference.
+"""
+
+from __future__ import annotations
+
+import logging
+import pickle
+from typing import Callable, Iterator
+
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def dump_cluster_matrices(
+    encode_fn: Callable,
+    head_logits_fn: Callable,
+    batch_iter: Iterator[dict],
+    n: int,
+    out_path: str,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (PS_v [H,N,K], labels [N], PS_a [H,N,K]) and writes the
+    reference-schema pickle (list of per-head matrices)."""
+    ps_v = None
+    ps_a = None
+    labels = np.zeros(n, np.int64)
+    feats_v = jnp.zeros((n, 512), jnp.float32)
+    feats_a = jnp.zeros((n, 512), jnp.float32)
+    for batch in batch_iter:
+        fv, fa = encode_fn(batch["video"], batch["audio"])
+        idx = jnp.asarray(batch["index"])
+        feats_v = feats_v.at[idx].set(fv.astype(jnp.float32))
+        feats_a = feats_a.at[idx].set(fa.astype(jnp.float32))
+        labels[np.asarray(batch["index"])] = np.asarray(batch["label"])
+
+    ps_v = np.asarray(head_logits_fn(feats_v, "v"))  # [H, N, K]
+    ps_a = np.asarray(head_logits_fn(feats_a, "a"))
+
+    payload = [
+        [ps_v[h] for h in range(ps_v.shape[0])],
+        labels,
+        [ps_a[h] for h in range(ps_a.shape[0])],
+    ]
+    with open(out_path, "wb") as f:
+        pickle.dump(payload, f)
+    logger.info("dumped cluster matrices to %s", out_path)
+    return ps_v, labels, ps_a
+
+
+def evaluate_dump(path: str, ncentroids: int, use_all_heads: bool = True):
+    """The reference ``k_means`` report over a dump file
+    (clustering_metrics.py:95-175)."""
+    from selavi_tpu.eval.clustering import best_head_labels, clustering_report
+
+    with open(path, "rb") as f:
+        ps = pickle.load(f)
+    ps_v_heads = np.stack([np.asarray(m) for m in ps[0]])
+    labels = np.asarray(ps[1])
+    ps_a_heads = np.stack([np.asarray(m) for m in ps[2]])
+
+    if use_all_heads:
+        preds, best_h = best_head_labels(ps_v_heads, ps_a_heads, labels)
+        logger.info("best head: %d", best_h)
+    else:
+        from scipy.special import log_softmax
+
+        log_ps = log_softmax(ps_v_heads[0].astype(np.float64), 1) + \
+            log_softmax(ps_a_heads[0].astype(np.float64), 1)
+        preds = log_ps.argmax(1)
+    report = clustering_report(preds, labels, ncentroids)
+    for k, v in report.items():
+        print(f"{k}: {v:.4f}")
+    return report

@@ -1,0 +1,111 @@
+"""Device-side fused video preprocessing.
+
+The reference normalizes / flips / color-jitters per sample on host CPU
+(/root/reference/datasets/video_transforms.py:420-504). TPU-native split:
+the host only decodes + resizes + crops to a static shape (variable-size ops
+need dynamic shapes XLA can't tile); everything elementwise runs on device
+as one fused XLA program feeding straight into the conv stem:
+
+* uint8 -> float normalize ``(x/255 - 0.45) / 0.225``
+  (reference video_transforms.py:13-14, 473-480);
+* per-sample horizontal flip with probability 0.5;
+* color jitter (brightness/contrast/saturation, strength 0.4, applied with
+  probability 0.8) and grayscale (probability 0.2). Reference torchvision
+  jitter applies the three adjustments in random order; here the order is
+  fixed (b, c, s) with the same factor distributions — the composition
+  differs only at second order in the jitter strength.
+
+Batches stay sharded over the mesh's data axis; all ops are elementwise or
+per-sample reductions, so GSPMD needs no collectives here.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_GRAY = jnp.array([0.299, 0.587, 0.114], jnp.float32)
+
+
+def normalize_video(frames_u8: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 [B, T, H, W, 3] -> normalized float video."""
+    x = frames_u8.astype(jnp.float32) / 255.0
+    return ((x - 0.45) / 0.225).astype(dtype)
+
+
+def _adjust_brightness(x, factor):
+    return x * factor
+
+
+def _adjust_contrast(x, factor):
+    # torchvision: blend with the mean of the grayscale image.
+    mean = jnp.mean(
+        jnp.tensordot(x, _GRAY, axes=[[-1], [0]]),
+        axis=(1, 2, 3),
+        keepdims=True,
+    )[..., None]
+    return x * factor + mean * (1.0 - factor)
+
+
+def _adjust_saturation(x, factor):
+    gray = jnp.tensordot(x, _GRAY, axes=[[-1], [0]])[..., None]
+    return x * factor + gray * (1.0 - factor)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("colorjitter", "grayscale", "flip", "dtype"),
+)
+def augment_video_batch(
+    frames_u8: jnp.ndarray,
+    rng: jax.Array,
+    colorjitter: bool = False,
+    grayscale: bool = False,
+    flip: bool = True,
+    jitter_strength: float = 0.4,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Fused flip + color jitter + grayscale + normalize.
+
+    Input uint8 [B, T, H, W, 3]; output normalized ``dtype`` video. Factors
+    are drawn per sample (the reference draws per clip too — one factor for
+    all frames of a clip, video_transforms.py:273-363).
+    """
+    b = frames_u8.shape[0]
+    x = frames_u8.astype(jnp.float32) / 255.0
+
+    k_flip, k_bj, k_cj, k_sj, k_apply, k_gray = jax.random.split(rng, 6)
+
+    if flip:
+        do_flip = jax.random.bernoulli(k_flip, 0.5, (b,))
+        x = jnp.where(
+            do_flip[:, None, None, None, None], x[:, :, :, ::-1, :], x
+        )
+
+    if colorjitter:
+        s = jitter_strength
+        bf = jax.random.uniform(
+            k_bj, (b, 1, 1, 1, 1), minval=1 - s, maxval=1 + s
+        )
+        cf = jax.random.uniform(
+            k_cj, (b, 1, 1, 1, 1), minval=1 - s, maxval=1 + s
+        )
+        sf = jax.random.uniform(
+            k_sj, (b, 1, 1, 1, 1), minval=1 - s, maxval=1 + s
+        )
+        jit = _adjust_saturation(
+            _adjust_contrast(_adjust_brightness(x, bf), cf), sf
+        )
+        jit = jnp.clip(jit, 0.0, 1.0)
+        do_jit = jax.random.bernoulli(k_apply, 0.8, (b,))
+        x = jnp.where(do_jit[:, None, None, None, None], jit, x)
+
+    if grayscale:
+        gray = jnp.tensordot(x, _GRAY, axes=[[-1], [0]])[..., None]
+        gray = jnp.broadcast_to(gray, x.shape[:-1] + (1,)).repeat(3, -1)
+        do_gray = jax.random.bernoulli(k_gray, 0.2, (b,))
+        x = jnp.where(do_gray[:, None, None, None, None], gray, x)
+
+    return ((x - 0.45) / 0.225).astype(dtype)

@@ -1,0 +1,47 @@
+"""Device mesh construction and sharding helpers.
+
+The TPU-native replacement for the reference's DDP/NCCL process-group layer
+(/root/reference/utils.py:112-152, main.py:156-160): one logical SPMD
+program over a ``jax.sharding.Mesh`` instead of one process per GPU.
+
+Mesh layout: a 2D ``('data', 'model')`` mesh. SeLaVi's parallelism is pure
+data parallelism (reference §2.9 of SURVEY.md — the models are ~33 M
+params), so ``model=1`` by default; the axis exists so head-stacks or larger
+towers can be sharded without restructuring. Batches are sharded over
+``data`` (gradient psum and global BatchNorm statistics are inserted by
+GSPMD); parameters are replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None, model_axis: int = 1
+) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    assert n % model_axis == 0, (n, model_axis)
+    arr = np.asarray(devices).reshape(n // model_axis, model_axis)
+    return Mesh(arr, ("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis sharded over the data axis (batches, feature matrices)."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Device-put a host batch with the leading axis over 'data'."""
+    s = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)

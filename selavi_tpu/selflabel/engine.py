@@ -1,0 +1,261 @@
+"""Self-labeling engine: full-dataset inference + Sinkhorn-Knopp assignment.
+
+Orchestrates the reference's ``cluster`` / ``get_cluster_assignments_gpu``
+(/root/reference/src/sk_utils.py:23-356):
+
+1. run the model in eval mode over the whole training set (with training
+   augmentations — the reference feeds the augmented train dataset) and
+   aggregate per-sample features: per-head softmaxes when ``headcount == 1``
+   (fp64 there; log-space fp32 here), pooled 512-d GAP features otherwise;
+2. optionally (first SK step, ``match``) align audio head columns to video
+   via the greedy permutation search;
+3. for each head (shuffled order; ``ind_groups`` independent groups each
+   re-aggregating with fresh augmentations), run Sinkhorn-Knopp on
+   ``softmax_v * softmax_a`` under the configured cluster marginal and write
+   the row-argmax into ``selflabels[:, head]``;
+4. report NMI vs. the previous labels and vs. ground truth.
+
+TPU-native: features stay on device, sharded over the mesh's data axis; the
+SK solve is the sharded log-domain solver (sinkhorn.py) rather than a
+single-host fp64 loop; there are no explicit barriers (SPMD) and no
+all_gather-to-rank-0 — the [N, D] matrix lives distributed.
+
+Unlike the reference, the ``N % world_size`` tail samples are *not* silently
+dropped from re-labeling (reference sk_utils.py:157-161 integer shard math);
+every sample is assigned.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from selavi_tpu.selflabel.marginals import MarginalState, get_marginal
+from selavi_tpu.selflabel.matching import match_order, permute_head_output
+from selavi_tpu.selflabel.sinkhorn import sinkhorn_knopp
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class SKConfig:
+    headcount: int = 1
+    num_clusters: int = 256
+    lamb: float = 20.0
+    ind_groups: int = 1
+    match: bool = True
+    distribution: str = "default"  # 'default' | 'gauss'
+    gauss_sd: float = 0.1
+    diff_dist_every: bool = False
+    diff_dist_per_head: bool = True
+    sk_tol: float = 1e-1
+    sk_max_iters: int = 2000
+
+
+def aggregate_features(
+    encode_fn: Callable,
+    batch_iter: Iterator[dict],
+    n: int,
+    feat_dim: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward the whole dataset, scatter features into [N, D] by index.
+
+    ``encode_fn(video, audio) -> (feat_v, feat_a)`` must be jitted eval-mode
+    GAP features. Batches carry an ``index`` array (dataset positions).
+    """
+    ps_v = jnp.zeros((n, feat_dim), jnp.float32)
+    ps_a = jnp.zeros((n, feat_dim), jnp.float32)
+    for batch in batch_iter:
+        feat_v, feat_a = encode_fn(batch["video"], batch["audio"])
+        idx = jnp.asarray(batch["index"])
+        ps_v = ps_v.at[idx].set(feat_v.astype(jnp.float32))
+        ps_a = ps_a.at[idx].set(feat_a.astype(jnp.float32))
+    return ps_v, ps_a
+
+
+def cluster(
+    *,
+    encode_fn: Callable,
+    head_logits_fn: Callable,
+    make_batch_iter: Callable[[], Iterator[dict]],
+    params: dict,
+    n: int,
+    cfg: SKConfig,
+    selflabels: np.ndarray,
+    marginal_state: MarginalState,
+    iter_num: int,
+    np_rng: np.random.Generator,
+    true_labels: Optional[np.ndarray] = None,
+    writer=None,
+    sk_counter: int = 0,
+) -> tuple[np.ndarray, MarginalState, dict, dict]:
+    """One full re-clustering step.
+
+    Args:
+      encode_fn: jitted ``(video, audio) -> (feat_v [B,512], feat_a)`` in
+        eval mode (running BN stats, no dropout).
+      head_logits_fn: jitted ``(params, feats, modality) -> [H, N, K]`` —
+        applies every head to pooled features (modality in {'v', 'a'}).
+      make_batch_iter: factory for a fresh full-dataset iterator (fresh
+        augmentations per independent head group).
+      params: current model params (heads may be permuted by matching; the
+        possibly-updated params are returned via the info dict).
+      selflabels: [N, H] int32 current labels (host).
+      true_labels: optional [N] ground-truth labels for NMI diagnostics.
+
+    Returns (new_selflabels, marginal_state, metrics, info) where info may
+    contain ``params`` (updated by modality alignment).
+    """
+    t_start = time.time()
+    old_labels = selflabels.copy()
+    new_labels = selflabels.copy()
+    info: dict = {}
+    costs = []
+
+    order_heads = list(range(cfg.headcount))
+    np_rng.shuffle(order_heads)
+    assert cfg.ind_groups <= cfg.headcount
+
+    for grp in range(cfg.ind_groups):
+        heads_in_group = order_heads[grp :: cfg.ind_groups]
+
+        # 1. full-dataset eval-mode feature aggregation (fresh augs per group)
+        ps_v, ps_a = aggregate_features(
+            encode_fn, make_batch_iter(), n, feat_dim=512
+        )
+
+        # 2. modality alignment at the very first SK step
+        if cfg.match and iter_num == 0:
+            for head in heads_in_group:
+                logits_v = head_logits_fn(params, ps_v, "v")[head]
+                logits_a = head_logits_fn(params, ps_a, "a")[head]
+                perm = match_order(logits_v, logits_a, rng=np_rng)
+                params = _apply_audio_perm(params, head, perm)
+                logger.info(
+                    "matched head %d (perm fixed points: %d/%d)",
+                    head,
+                    int((perm == np.arange(len(perm))).sum()),
+                    len(perm),
+                )
+            info["params"] = params
+
+        # 3. per-head Sinkhorn-Knopp
+        all_logits_v = head_logits_fn(params, ps_v, "v")
+        all_logits_a = head_logits_fn(params, ps_a, "a")
+        for head in heads_in_group:
+            log_ps = jax.nn.log_softmax(
+                all_logits_v[head].astype(jnp.float32), axis=1
+            ) + jax.nn.log_softmax(
+                all_logits_a[head].astype(jnp.float32), axis=1
+            )
+            colsum = None
+            if cfg.distribution != "default":
+                colsum = np.asarray(
+                    jax.scipy.special.logsumexp(log_ps, axis=0)
+                )
+            log_r, marginal_state = get_marginal(
+                marginal_state,
+                colsum,
+                head,
+                cfg.headcount,
+                n,
+                cfg.num_clusters,
+                distribution=cfg.distribution,
+                gauss_sd=cfg.gauss_sd,
+                diff_dist_every=cfg.diff_dist_every,
+                diff_dist_per_head=cfg.diff_dist_per_head,
+                rng=np_rng,
+            )
+            t0 = time.time()
+            res = sinkhorn_knopp(
+                log_ps,
+                jnp.asarray(log_r),
+                lamb=cfg.lamb,
+                tol=cfg.sk_tol,
+                max_iters=cfg.sk_max_iters,
+            )
+            new_labels[:, head] = np.asarray(res.labels)
+            costs.append(float(res.cost))
+            logger.info(
+                "head %d: SK cost %.3f, err %.3g, %d iters, %.2fs",
+                head,
+                float(res.cost),
+                float(res.err),
+                int(res.iters),
+                time.time() - t0,
+            )
+
+    # 4. diagnostics (reference sk_utils.py:44-122)
+    metrics = {"sk_cost": float(np.mean(costs)), "sk_time": time.time() - t_start}
+    try:
+        from sklearn.metrics.cluster import (
+            adjusted_mutual_info_score,
+            normalized_mutual_info_score,
+        )
+
+        metrics["nmi_vs_old"] = normalized_mutual_info_score(
+            new_labels[:, 0], old_labels[:, 0], average_method="arithmetic"
+        )
+        if true_labels is not None:
+            metrics["nmi_vs_gt"] = normalized_mutual_info_score(
+                new_labels[:, 0], true_labels, average_method="arithmetic"
+            )
+            metrics["anmi_vs_gt"] = adjusted_mutual_info_score(
+                new_labels[:, 0], true_labels, average_method="arithmetic"
+            )
+            if (sk_counter + 1) % 10 == 0:
+                ent, pur = cluster_entropy_purity(
+                    new_labels[:, 0], true_labels
+                )
+                metrics["avg_entropy"] = ent
+                metrics["avg_purity"] = pur
+    except ImportError:  # pragma: no cover - sklearn is baked in
+        pass
+
+    if writer is not None:
+        for k, v in metrics.items():
+            writer.add_scalar(f"train/{k}", v, iter_num)
+    logger.info(
+        "SK step @ iter %d: %s",
+        iter_num,
+        {k: round(v, 4) for k, v in metrics.items()},
+    )
+    return new_labels, marginal_state, metrics, info
+
+
+def cluster_entropy_purity(pred: np.ndarray, truth: np.ndarray):
+    """Per-cluster label entropy / purity averages (sk_utils.py:89-101)."""
+    from scipy.stats import entropy as scipy_entropy
+
+    entropies, purities = [], []
+    for c in np.unique(pred):
+        mask = pred == c
+        if mask.sum() == 0:
+            continue
+        _, counts = np.unique(truth[mask], return_counts=True)
+        frac = counts / counts.sum()
+        purities.append(frac.max())
+        entropies.append(scipy_entropy(frac))
+    return float(np.mean(entropies)), float(np.mean(purities))
+
+
+def _apply_audio_perm(params: dict, head: int, perm: np.ndarray) -> dict:
+    """Permute the final Dense of audio head ``head`` inside the vmapped
+    head-stack params (leading head axis)."""
+    import copy
+
+    params = copy.deepcopy(jax.device_get(params))
+    proj = params["heads_a"]["heads"]["proj"]
+    kernel = np.asarray(proj["kernel"])
+    bias = np.asarray(proj["bias"])
+    kernel[head] = kernel[head][:, perm]
+    bias[head] = bias[head][perm]
+    proj["kernel"] = kernel
+    proj["bias"] = bias
+    return params

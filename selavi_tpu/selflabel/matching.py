@@ -1,0 +1,127 @@
+"""Modality alignment: permute audio-head cluster columns to match video.
+
+Reference (/root/reference/src/sk_utils.py:424-467 ``match_order``): at the
+first SK step, for each head, a greedy random-swap search (50k steps, 2
+restarts, stop after 1000 swaps without improvement) minimizes
+``sum_n sum_k |softmax_v[n,k] - softmax_a[n,perm(k)]|`` over column
+permutations; the winning permutation is applied to the audio head's final
+linear layer rows.
+
+TPU-native redesign: the reference recomputes two O(N) column costs per
+candidate swap (~50k sequential device reductions). The cost function
+decomposes per column pair, so we precompute the full pairwise matrix
+``C[i, j] = sum_n |v[n, i] - a[n, j]|`` once — a single batched device
+reduction — after which each candidate swap is O(1) host arithmetic:
+
+    cost(perm) = sum_i C[i, perm(i)]
+    delta(i, j) = (C[i, pi] + C[j, pj]) - (C[i, pj] + C[j, pi])
+
+Same accept/reject decisions for the same random pair sequence, ~10^5 x
+faster. The inherently sequential swap loop stays on host (numpy).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def column_cost_matrix(v: jnp.ndarray, a: jnp.ndarray, block: int = 8192):
+    """C[i, j] = sum_n |v[n, i] - a[n, j]| for v, a of shape [N, K].
+
+    Streamed over N in blocks so the [block, K, K] broadcast intermediate
+    stays well inside HBM for K in the hundreds.
+    """
+    n, k = v.shape
+    nblocks = -(-n // block)
+    pad = nblocks * block - n
+    vp = jnp.pad(v, ((0, pad), (0, 0))).reshape(nblocks, block, k)
+    ap = jnp.pad(a, ((0, pad), (0, 0))).reshape(nblocks, block, k)
+    # padded rows contribute |0 - 0| = 0 to every (i, j): exact.
+
+    def body(carry, vb_ab):
+        vb, ab = vb_ab
+        c = jnp.sum(
+            jnp.abs(vb[:, :, None] - ab[:, None, :]), axis=0
+        )
+        return carry + c, None
+
+    c0 = jnp.zeros((k, k), jnp.float32)
+    c, _ = jax.lax.scan(body, c0, (vp.astype(jnp.float32), ap.astype(jnp.float32)))
+    return c
+
+
+def greedy_swap_match(
+    cost: np.ndarray,
+    steps: int = 50000,
+    restarts: int = 2,
+    patience: int = 1000,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Greedy random-swap search over permutations, on the precomputed cost.
+
+    Returns ``perm`` such that audio column ``perm[k]`` is matched to video
+    column ``k`` (the reference's convention: ``emb2_in[:, perm]`` best
+    matches ``emb1``).
+    """
+    k = cost.shape[0]
+    if rng is None:
+        rng = np.random.default_rng(0)
+    best_perm = np.arange(k)
+    best_cost = float(np.trace(cost))
+    for _ in range(restarts):
+        perm = np.arange(k)
+        cur = np.array([cost[i, i] for i in range(k)], np.float64)
+        last_improve = 0
+        for it in range(steps):
+            i, j = rng.choice(k, 2, replace=False)
+            current = cur[i] + cur[j]
+            future = cost[i, perm[j]] + cost[j, perm[i]]
+            if current - future > 0:
+                perm[i], perm[j] = perm[j], perm[i]
+                cur[i] = cost[i, perm[i]]
+                cur[j] = cost[j, perm[j]]
+                last_improve = it
+            if it - last_improve > patience:
+                break
+        total = float(cur.sum())
+        if total < best_cost:
+            best_cost = total
+            best_perm = perm.copy()
+    return best_perm
+
+
+def match_order(
+    logits_v: jnp.ndarray,
+    logits_a: jnp.ndarray,
+    steps: int = 50000,
+    restarts: int = 2,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Full pipeline: softmax both modalities, build C on device, search on
+    host. Returns the permutation to apply to the audio head's output rows
+    (kernel columns / bias entries in flax layout)."""
+    pv = jax.nn.softmax(logits_v.astype(jnp.float32), axis=1)
+    pa = jax.nn.softmax(logits_a.astype(jnp.float32), axis=1)
+    cost = np.asarray(column_cost_matrix(pv, pa))
+    return greedy_swap_match(cost, steps=steps, restarts=restarts, rng=rng)
+
+
+def permute_head_output(params_head: dict, perm: np.ndarray) -> dict:
+    """Apply a cluster permutation to a head's final Dense layer.
+
+    flax Dense stores ``kernel [in, out]`` and ``bias [out]``; the reference
+    permutes torch ``weight [out, in]`` rows and ``bias`` entries
+    (sk_utils.py:466-467), i.e. our kernel *columns*.
+    """
+    import copy
+
+    out = copy.deepcopy(params_head)
+    out["kernel"] = params_head["kernel"][:, perm]
+    if "bias" in params_head:
+        out["bias"] = params_head["bias"][perm]
+    return out

@@ -1,0 +1,135 @@
+"""Sinkhorn-Knopp optimal-transport label assignment, TPU-native.
+
+Reference algorithm (/root/reference/src/sk_utils.py:359-422): on a single
+GPU, in float64, iterate
+
+    alpha = r / (PS^T beta),     beta = c / (PS alpha)
+
+on ``PS = (softmax_v * softmax_a) ** (lambda/2)`` until
+``sum(|beta_old/beta_new - 1|) < 0.1`` (checked every 10 iterations) or 2000
+iterations; labels are the row-argmax of ``diag(beta) PS diag(alpha)``.
+
+TPU-native redesign (not a port):
+
+* **log-domain fp32** instead of power-domain fp64 — TPUs have no native
+  fp64. With ``M = (lambda/2) * (log_softmax_v + log_softmax_a)`` the same
+  fixed point is computed via logsumexp scalings, which is strictly more
+  numerically robust than the reference's fp64 power iteration (``PS**10``
+  underflows fp64 for small probabilities; logs never do).
+* **sharded, not single-host**: M is laid out row-sharded over the mesh's
+  data axis. Under jit, the column logsumexp reduction becomes an ICI
+  collective inserted by GSPMD — the full [N, K] matrix never has to live on
+  one chip (the reference materializes it on rank 0's GPU).
+* a ``lax.while_loop`` with the same stopping rule (error check every 10
+  iterations, tol 0.1, cap 2000) keeps convergence behavior aligned with the
+  reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class SinkhornResult(NamedTuple):
+    labels: jnp.ndarray  # [N] int32 row-argmax assignments
+    cost: jnp.ndarray  # scalar transport cost (reference formula)
+    err: jnp.ndarray  # final marginal error
+    iters: jnp.ndarray  # iterations executed
+
+
+def _logsumexp(a, axis):
+    return jax.scipy.special.logsumexp(a, axis=axis)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iters", "check_every")
+)
+def sinkhorn_knopp(
+    log_ps: jnp.ndarray,
+    log_r: jnp.ndarray,
+    lamb: float = 20.0,
+    tol: float = 1e-1,
+    max_iters: int = 2000,
+    check_every: int = 10,
+) -> SinkhornResult:
+    """Run SK scaling iterations in the log domain.
+
+    Args:
+      log_ps: [N, K] log joint probabilities ``log_softmax_v + log_softmax_a``
+        (NOT yet scaled by lambda/2 — done here).
+      log_r: [K] log of the column (cluster) target marginal, normalized to
+        sum to 1 in probability space. Uniform => ``-log(K)``.
+      lamb: entropic regularization weight (reference ``args.lamb``).
+      tol / max_iters / check_every: reference stopping rule.
+
+    Returns SinkhornResult with row-argmax labels and the reference's
+    transport cost ``-(1/lamb) * sum_n M[n, L[n]] / N``.
+    """
+    n, _ = log_ps.shape
+    m = (0.5 * lamb) * log_ps.astype(jnp.float32)
+    log_c = -jnp.log(jnp.float32(n))  # rows uniform: c = 1/N
+    log_r = log_r.astype(jnp.float32)
+
+    log_beta0 = jnp.full((n,), -jnp.log(jnp.float32(n)), jnp.float32)
+
+    def cond(state):
+        _, _, err, it = state
+        return jnp.logical_and(err > tol, it < max_iters)
+
+    def body(state):
+        _, log_beta, err, it = state
+        # alpha update: log_alpha[k] = log_r[k] - LSE_n(M[n,k] + log_beta[n])
+        log_alpha = log_r - _logsumexp(m + log_beta[:, None], axis=0)
+        # beta update: log_beta[n] = log_c - LSE_k(M[n,k] + log_alpha[k])
+        log_beta_new = log_c - _logsumexp(m + log_alpha[None, :], axis=1)
+        # reference error: sum |beta_old/beta_new - 1|, every `check_every`.
+        err = jax.lax.cond(
+            it % check_every == 0,
+            lambda: jnp.sum(jnp.abs(jnp.expm1(log_beta - log_beta_new))),
+            lambda: err,
+        )
+        return log_alpha, log_beta_new, err, it + 1
+
+    log_alpha0 = log_r - _logsumexp(m + log_beta0[:, None], axis=0)
+    state0 = (log_alpha0, log_beta0, jnp.float32(1e6), jnp.int32(0))
+    log_alpha, log_beta, err, iters = jax.lax.while_loop(cond, body, state0)
+
+    # Row argmax of diag(beta) PS diag(alpha): beta is constant per row,
+    # so labels = argmax_k (M + log_alpha).
+    scores = m + log_alpha[None, :]
+    labels = jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+    # Reference cost: -(1/lamb) * nansum(log PS_sk[n, L[n]]) / N where
+    # PS_sk = PS ** (lambda/2), i.e. log PS_sk = M.
+    picked = jnp.take_along_axis(m, labels[:, None], axis=1)[:, 0]
+    cost = -(1.0 / lamb) * jnp.sum(picked) / n
+    return SinkhornResult(labels, cost, err, iters)
+
+
+def sinkhorn_assign(
+    logits_v: jnp.ndarray,
+    logits_a: jnp.ndarray,
+    log_r: Optional[jnp.ndarray] = None,
+    lamb: float = 20.0,
+    tol: float = 1e-1,
+    max_iters: int = 2000,
+) -> SinkhornResult:
+    """Assign labels from raw per-modality head logits.
+
+    ``PS = softmax(logits_v) * softmax(logits_a)`` (reference
+    sk_utils.py:309-315) computed as a log-space sum — one fused kernel, no
+    materialized softmaxes.
+    """
+    log_ps = jax.nn.log_softmax(
+        logits_v.astype(jnp.float32), axis=1
+    ) + jax.nn.log_softmax(logits_a.astype(jnp.float32), axis=1)
+    if log_r is None:
+        k = logits_v.shape[1]
+        log_r = jnp.full((k,), -jnp.log(jnp.float32(k)), jnp.float32)
+    return sinkhorn_knopp(
+        log_ps, log_r, lamb=lamb, tol=tol, max_iters=max_iters
+    )

@@ -1,0 +1,126 @@
+"""Single-file checkpointing with SeLaVi-complete state.
+
+Reference contract (/root/reference/main.py:222-242, utils.py:219-261): one
+``checkpoint.pth.tar`` per epoch holding ``{epoch+1, dist (cached Gaussian
+marginals), model, optimizer, selflabels}``, archived every
+``checkpoint_freq`` epochs; resume restores all of it and fast-forwards the
+SK schedule / LR scheduler.
+
+Implementation: flax msgpack serialization of the device pytree + pickled
+host state, in one file. (orbax is available but writes directory trees;
+the single-file layout keeps the reference's copy-to-archive semantics
+trivial and makes checkpoints portable.)
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+import shutil
+from typing import Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from selavi_tpu.selflabel.marginals import MarginalState
+from selavi_tpu.train.state import SelfLabelState, TrainState
+
+logger = logging.getLogger(__name__)
+
+CKPT_NAME = "checkpoint.msgpack"
+
+
+def save_checkpoint(
+    dump_path: str,
+    state: TrainState,
+    sl_state: SelfLabelState,
+    epoch: int,
+    checkpoint_freq: int = 5,
+    total_epochs: Optional[int] = None,
+    dump_checkpoints: Optional[str] = None,
+):
+    if jax.process_index() != 0:
+        return
+    device_state = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    payload = {
+        "device": serialization.to_bytes(jax.device_get(device_state)),
+        "epoch": epoch + 1,
+        "selflabels": np.asarray(sl_state.selflabels),
+        "dist": sl_state.marginals.to_dict(),
+        "sk_counter": sl_state.sk_counter,
+    }
+    path = os.path.join(dump_path, CKPT_NAME)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+
+    if dump_checkpoints and (
+        epoch % checkpoint_freq == 0
+        or (total_epochs is not None and epoch == total_epochs - 1)
+    ):
+        shutil.copyfile(
+            path, os.path.join(dump_checkpoints, f"ckp-{epoch}.msgpack")
+        )
+
+
+def restore_checkpoint(
+    dump_path: str, state: TrainState, sl_state: SelfLabelState
+) -> tuple[TrainState, SelfLabelState, int]:
+    """Restore in place of the fresh (target-structured) state. Returns
+    (state, sl_state, start_epoch); untouched when no checkpoint exists."""
+    path = (
+        dump_path
+        if dump_path.endswith(".msgpack")
+        else os.path.join(dump_path, CKPT_NAME)
+    )
+    if not os.path.isfile(path):
+        return state, sl_state, 0
+    logger.info("Found checkpoint at %s", path)
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    target = {
+        "step": jax.device_get(state.step),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    device_state = serialization.from_bytes(target, payload["device"])
+    state = state.replace(
+        step=jax.numpy.asarray(device_state["step"]),
+        params=device_state["params"],
+        batch_stats=device_state["batch_stats"],
+        opt_state=device_state["opt_state"],
+    )
+    sl_state = SelfLabelState(
+        selflabels=np.asarray(payload["selflabels"]),
+        marginals=MarginalState.from_dict(payload["dist"]),
+        sk_counter=int(payload["sk_counter"]),
+        epoch=int(payload["epoch"]),
+    )
+    return state, sl_state, int(payload["epoch"])
+
+
+def load_model_parameters(state: TrainState, ckpt_path: str) -> TrainState:
+    """Eval-tool loader: restore params/batch_stats only
+    (reference ``load_model_parameters``, utils.py:264-274)."""
+    with open(ckpt_path, "rb") as f:
+        payload = pickle.load(f)
+    target = {
+        "step": jax.device_get(state.step),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    device_state = serialization.from_bytes(target, payload["device"])
+    return state.replace(
+        params=device_state["params"],
+        batch_stats=device_state["batch_stats"],
+    )

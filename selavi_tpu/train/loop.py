@@ -1,0 +1,312 @@
+"""The pretraining loop: SeLaVi end-to-end on a TPU mesh.
+
+Mirrors /root/reference/main.py:49-345 (setup -> BN warmup -> epoch loop
+with scheduled Sinkhorn-Knopp re-clustering -> checkpoint each epoch), as a
+reusable Trainer so the CLI, tests, and the multichip dryrun share one code
+path.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from selavi_tpu.data.loader import DataLoader, device_prefetch
+from selavi_tpu.models import load_model
+from selavi_tpu.parallel.dist import signal_received
+from selavi_tpu.parallel.mesh import (
+    data_sharding,
+    make_mesh,
+    replicated_sharding,
+)
+from selavi_tpu.selflabel.engine import SKConfig, cluster
+from selavi_tpu.selflabel.schedule import (
+    fast_forward_schedule,
+    make_sk_schedule,
+)
+from selavi_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from selavi_tpu.train.optim import make_optimizer
+from selavi_tpu.train.state import (
+    SelfLabelState,
+    TrainState,
+    create_train_state,
+)
+from selavi_tpu.train.step import (
+    make_bn_warmup_step,
+    make_encode_fn,
+    make_head_logits_fn,
+    make_train_step,
+)
+from selavi_tpu.utils.meters import AverageMeter
+
+logger = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(self, args, dataset, writer=None):
+        self.args = args
+        self.dataset = dataset
+        self.writer = writer
+
+        self.mesh = make_mesh(model_axis=getattr(args, "model_axis", 1))
+        self.n_devices = self.mesh.devices.size
+        self.data_sharding = data_sharding(self.mesh)
+        self.replicated = replicated_sharding(self.mesh)
+
+        compute_dtype = (
+            jnp.bfloat16
+            if getattr(args, "compute_dtype", "float32") == "bfloat16"
+            else jnp.float32
+        )
+        self.model = load_model(
+            vid_base_arch=args.vid_base_arch,
+            aud_base_arch=args.aud_base_arch,
+            use_mlp=args.use_mlp,
+            num_classes=args.mlp_dim,
+            norm_feat=False,
+            headcount=args.headcount,
+            dtype=compute_dtype,
+        )
+
+        self.loader = DataLoader(
+            dataset,
+            batch_size=args.batch_size * self.n_devices,
+            shuffle=True,
+            drop_last=True,
+            num_workers=getattr(args, "workers", 0),
+            seed=args.seed,
+        )
+        self.batches_per_epoch = len(self.loader)
+        n = len(dataset)
+
+        self.tx = make_optimizer(
+            base_lr=args.base_lr,
+            weight_decay=args.wd,
+            multiplier=float(self.n_devices * jax.process_count()),
+            warmup_epochs=args.warmup_epochs,
+            use_warmup=args.use_warmup_scheduler,
+            batches_per_epoch=self.batches_per_epoch,
+        )
+
+        rng = jax.random.PRNGKey(args.seed)
+        self.np_rng = np.random.default_rng(args.seed)
+        example = dataset.get_example(0, np.random.default_rng(0))
+        video_shape = (2,) + example["video"].shape
+        audio_shape = (2,) + example["audio"].shape + (1,)
+        with self.mesh:
+            self.state = create_train_state(
+                self.model, self.tx, rng, video_shape, audio_shape
+            )
+        self.state = jax.device_put(self.state, self.replicated)
+        self.sl_state = SelfLabelState.init(n, args.headcount)
+
+        self.train_step = make_train_step(
+            self.model,
+            colorjitter=args.colorjitter,
+            grayscale=args.use_grayscale,
+            compute_dtype=compute_dtype,
+        )
+        self.bn_warmup_step = make_bn_warmup_step(
+            self.model, compute_dtype=compute_dtype
+        )
+        self.encode = make_encode_fn(self.model, compute_dtype=compute_dtype)
+        self.head_logits = make_head_logits_fn(self.model)
+
+        self.sk_cfg = SKConfig(
+            headcount=args.headcount,
+            num_clusters=args.mlp_dim,
+            lamb=float(args.lamb),
+            ind_groups=args.ind_groups,
+            match=args.match,
+            distribution=args.distribution,
+            gauss_sd=args.gauss_sd,
+            diff_dist_every=args.diff_dist_every,
+            diff_dist_per_head=args.diff_dist_per_head,
+        )
+        self.sk_schedule = make_sk_schedule(
+            args.epochs,
+            self.batches_per_epoch,
+            args.nopts,
+            args.schedulepower,
+        )
+        self.step_rng = jax.random.PRNGKey(args.seed + 1)
+        self.true_labels = getattr(dataset, "labels", None)
+        self._history: list[dict] = []
+
+    # ------------------------------------------------------------------
+    def resume(self) -> int:
+        self.state, self.sl_state, start_epoch = restore_checkpoint(
+            self.args.dump_path, self.state, self.sl_state
+        )
+        if start_epoch != 0:
+            self.sk_schedule, done = fast_forward_schedule(
+                self.sk_schedule, self.batches_per_epoch, start_epoch
+            )
+            self.sl_state.sk_counter = max(self.sl_state.sk_counter, done)
+            logger.info(
+                "resumed at epoch %d (%d SK steps done)", start_epoch, done
+            )
+        return start_epoch
+
+    def warmup_batchnorm(self, batches: Optional[int] = None):
+        batches = batches or getattr(self.args, "bn_warmup_batches", 20)
+        if batches <= 0:
+            return
+        logger.info("Warming up batchnorm (%d batches)", batches)
+        self.loader.set_epoch(999)
+        bs = self.state.batch_stats
+        rng = jax.random.PRNGKey(999)
+        for i, batch in enumerate(self._device_batches()):
+            if i >= batches:
+                break
+            rng, sub = jax.random.split(rng)
+            bs = self.bn_warmup_step(
+                self.state.params, bs, batch["video"], batch["audio"], sub
+            )
+        self.state = self.state.replace(batch_stats=bs)
+
+    def _device_batches(self):
+        return device_prefetch(
+            iter(self.loader),
+            sharding=self.data_sharding,
+            depth=getattr(self.args, "prefetch", 2),
+        )
+
+    def _make_eval_iter(self):
+        """Fresh sequential full-dataset iterator for SK aggregation."""
+        eval_loader = DataLoader(
+            self.dataset,
+            batch_size=min(
+                64 * self.n_devices, max(len(self.dataset), 1)
+            ),
+            shuffle=False,
+            drop_last=False,
+            num_workers=getattr(self.args, "workers", 0),
+            seed=self.args.seed + 7919 + self.sl_state.sk_counter,
+        )
+        return device_prefetch(
+            iter(eval_loader), sharding=self.data_sharding, depth=2
+        )
+
+    def maybe_cluster(self, iteration: int) -> bool:
+        """Run SK if the schedule says so (reference main.py:272-281)."""
+        if iteration < self.sk_schedule[-1]:
+            return False
+        self.sk_schedule.pop()
+
+        def encode_fn(video, audio):
+            return self.encode(
+                self.state.params, self.state.batch_stats, video, audio
+            )
+
+        def head_logits_fn(params, feats, modality):
+            return self.head_logits(
+                params, self.state.batch_stats, feats, modality
+            )
+
+        labels, marginals, metrics, info = cluster(
+            encode_fn=encode_fn,
+            head_logits_fn=head_logits_fn,
+            make_batch_iter=self._make_eval_iter,
+            params=self.state.params,
+            n=len(self.dataset),
+            cfg=self.sk_cfg,
+            selflabels=self.sl_state.selflabels,
+            marginal_state=self.sl_state.marginals,
+            iter_num=self.sl_state.sk_counter,
+            np_rng=self.np_rng,
+            true_labels=self.true_labels,
+            writer=self.writer,
+            sk_counter=self.sl_state.sk_counter,
+        )
+        if "params" in info:  # modality alignment permuted audio heads
+            params = jax.device_put(info["params"], self.replicated)
+            self.state = self.state.replace(params=params)
+        self.sl_state.selflabels = labels
+        self.sl_state.marginals = marginals
+        self.sl_state.sk_counter += 1
+        self._history.append(metrics)
+        return True
+
+    def train_epoch(self, epoch: int) -> float:
+        self.loader.set_epoch(epoch)
+        losses = AverageMeter()
+        batch_time = AverageMeter()
+        data_time = AverageMeter()
+        end = time.time()
+        batches_thusfar = epoch * self.batches_per_epoch
+        selflabels_dev = jax.device_put(
+            jnp.asarray(self.sl_state.selflabels), self.replicated
+        )
+
+        for it, batch in enumerate(self._device_batches()):
+            data_time.update(time.time() - end)
+            if self.maybe_cluster(batches_thusfar + it):
+                selflabels_dev = jax.device_put(
+                    jnp.asarray(self.sl_state.selflabels), self.replicated
+                )
+            labels = selflabels_dev[batch["index"]]
+            self.step_rng, sub = jax.random.split(self.step_rng)
+            self.state, metrics = self.train_step(
+                self.state, batch, labels, sub
+            )
+            loss = float(metrics["loss"])
+            losses.update(loss, batch["video"].shape[0])
+            batch_time.update(time.time() - end)
+            end = time.time()
+
+            iteration = epoch * self.batches_per_epoch + it
+            if it % 50 == 0 and jax.process_index() == 0:
+                logger.info(
+                    "Epoch: [%d][%d]\tTime %.3f (%.3f)\tData %.3f (%.3f)\t"
+                    "Loss %.4f (%.4f)",
+                    epoch,
+                    it,
+                    batch_time.val,
+                    batch_time.avg,
+                    data_time.val,
+                    data_time.avg,
+                    losses.val,
+                    losses.avg,
+                )
+                if self.writer:
+                    self.writer.add_scalar("loss/iter", loss, iteration)
+                    self.writer.add_scalar(
+                        "batch_time/iter", batch_time.avg, iteration
+                    )
+                    self.writer.add_scalar(
+                        "data_time/iter", data_time.avg, iteration
+                    )
+            if signal_received():
+                self.checkpoint(epoch)
+                logger.warning("preemption checkpoint written; exiting")
+                raise SystemExit(0)
+        return losses.avg
+
+    def checkpoint(self, epoch: int):
+        self.sl_state.epoch = epoch + 1
+        save_checkpoint(
+            self.args.dump_path,
+            self.state,
+            self.sl_state,
+            epoch,
+            checkpoint_freq=getattr(self.args, "checkpoint_freq", 5),
+            total_epochs=self.args.epochs,
+            dump_checkpoints=getattr(self.args, "dump_checkpoints", None),
+        )
+
+    def fit(self) -> list[dict]:
+        start_epoch = self.resume()
+        if start_epoch == 0:
+            self.warmup_batchnorm()
+        for epoch in range(start_epoch, self.args.epochs):
+            logger.info("============ Starting epoch %i ============", epoch)
+            avg_loss = self.train_epoch(epoch)
+            self.checkpoint(epoch)
+            self._history.append({"epoch": epoch, "loss": avg_loss})
+        return self._history

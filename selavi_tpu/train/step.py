@@ -1,0 +1,148 @@
+"""Jitted training / inference steps.
+
+The reference hot loop (/root/reference/main.py:263-302): forward both
+towers + heads, loss = 0.5*CE(video heads) + 0.5*CE(audio heads) each
+averaged over heads (utils.py:377-387), SGD step, DDP allreduce. Here the
+whole step is one jitted SPMD program: batch sharded over the mesh's data
+axis, params replicated, gradient psums and global-BN collectives inserted
+by GSPMD. Raw uint8 frames enter the step and the fused augmentation /
+normalization (selavi_tpu.ops.preprocess) runs on device, so host->device
+traffic is uint8.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from selavi_tpu.ops.preprocess import augment_video_batch
+
+
+def multihead_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean over heads of CE(logits[h], labels[:, h]).
+
+    logits [H, B, K]; labels [B, H] int.
+    """
+    h = logits.shape[0]
+    per_head = jax.vmap(
+        lambda lg, lb: optax.softmax_cross_entropy_with_integer_labels(
+            lg.astype(jnp.float32), lb
+        ).mean(),
+        in_axes=(0, 1),
+    )(logits, labels)
+    return per_head.mean()
+
+
+def make_train_step(
+    model,
+    colorjitter: bool = False,
+    grayscale: bool = False,
+    compute_dtype=jnp.float32,
+    donate: bool = True,
+) -> Callable:
+    """Returns jitted ``step(state, batch, labels, rng) -> (state, metrics)``.
+
+    ``batch['video']`` uint8 [B,T,H,W,3]; ``batch['audio']`` [B,F,T,1]
+    float32; ``labels`` [B, H] int32 pseudo-labels.
+    """
+
+    def step(state, batch, labels, rng):
+        aug_rng, dropout_rng = jax.random.split(rng)
+        video = augment_video_batch(
+            batch["video"],
+            aug_rng,
+            colorjitter=colorjitter,
+            grayscale=grayscale,
+            flip=True,
+            dtype=compute_dtype,
+        )
+        audio = batch["audio"].astype(compute_dtype)
+
+        def loss_fn(params):
+            (logits_v, logits_a), updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                video,
+                audio,
+                train=True,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"],
+            )
+            loss_v = multihead_ce(logits_v, labels)
+            loss_a = multihead_ce(logits_a, labels)
+            loss = 0.5 * loss_v + 0.5 * loss_a
+            return loss, (loss_v, loss_a, updates["batch_stats"])
+
+        (loss, (loss_v, loss_a, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads, new_bs)
+        metrics = {"loss": loss, "loss_v": loss_v, "loss_a": loss_a}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_bn_warmup_step(model, compute_dtype=jnp.float32) -> Callable:
+    """Forward-only pass updating BN running stats
+    (reference ``warmup_batchnorm``, /root/reference/utils.py:389-418)."""
+
+    @jax.jit
+    def warmup(params, batch_stats, video_u8, audio, rng):
+        video = augment_video_batch(
+            video_u8, rng, flip=True, dtype=compute_dtype
+        )
+        _, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            video,
+            audio.astype(compute_dtype),
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+            return_features=True,
+        )
+        return updates["batch_stats"]
+
+    return warmup
+
+
+def make_encode_fn(model, compute_dtype=jnp.float32) -> Callable:
+    """Eval-mode GAP features for the SK aggregation pass
+    (reference sk_utils.py:196-211; eval mode = running BN stats)."""
+
+    @jax.jit
+    def encode(params, batch_stats, video_u8, audio):
+        video = (
+            (video_u8.astype(jnp.float32) / 255.0 - 0.45) / 0.225
+        ).astype(compute_dtype)
+        feat_v, feat_a = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            video,
+            audio.astype(compute_dtype),
+            train=False,
+            return_features=True,
+        )
+        return feat_v, feat_a
+
+    return encode
+
+
+def make_head_logits_fn(model) -> Callable:
+    """``(variables, feats [N,512], modality) -> [H, N, K]`` in eval mode."""
+
+    @functools.partial(jax.jit, static_argnames=("modality",))
+    def head_logits(params, batch_stats, feats, modality: str):
+        method = (
+            model.video_heads if modality == "v" else model.audio_heads
+        )
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            feats,
+            train=False,
+            method=method,
+        )
+
+    return head_logits

@@ -1,0 +1,26 @@
+"""Test harness: force an 8-device CPU mesh regardless of the host's
+accelerator setup. The axon sitecustomize may have eagerly initialized a TPU
+backend before pytest starts, so clearing the backend cache after flipping
+the platform config is required (verified: registration-then-clear yields a
+clean 8-device CPU runtime)."""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+if "--xla_force_host_platform_device_count" not in os.environ.get(
+    "XLA_FLAGS", ""
+):
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    import jax.extend.backend as _jeb
+
+    _jeb.clear_backends()
+except Exception:
+    pass
+
+assert jax.default_backend() == "cpu", jax.default_backend()

@@ -1,0 +1,113 @@
+"""AVideoDataset pure logic: path-list cache, class filter, fold files,
+clip enumeration — no media decode required."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from selavi_tpu.data.dataset import (
+    AVideoDataset,
+    SOUND_ONLY_CLASSES_KINETICS,
+    select_fold_hmdb51,
+    select_fold_ucf101,
+)
+
+
+def _make_tree(root, mode, classes, per_class=3, ext="mp4"):
+    for c in classes:
+        d = os.path.join(root, mode, c)
+        os.makedirs(d, exist_ok=True)
+        for i in range(per_class):
+            open(os.path.join(d, f"{c}_{i}.{ext}"), "w").close()
+
+
+def test_path_list_and_labels(tmp_path):
+    root = str(tmp_path / "ds")
+    data = str(tmp_path / "cache")
+    _make_tree(root, "train", ["beta", "alpha"], per_class=2)
+    # pre-seed the valid cache so no ffprobe is attempted
+    os.makedirs(data, exist_ok=True)
+    with open(os.path.join(data, "ave_valid.pkl"), "wb") as f:
+        pickle.dump(list(range(4)), f)
+
+    ds = AVideoDataset(
+        ds_name="ave", root_dir=root, mode="train",
+        path_to_data_dir=data, num_data_samples=4,
+    )
+    assert len(ds) == 4
+    # classes sorted => alpha=0, beta=1
+    assert ds.class_to_idx == {"alpha": 0, "beta": 1}
+    labels = ds.labels
+    assert sorted(labels.tolist()) == [0, 0, 1, 1]
+    # txt cache exists and is reused
+    assert os.path.isfile(os.path.join(data, "ave_train.txt"))
+
+
+def test_kinetics_sound_class_filter(tmp_path):
+    root = str(tmp_path / "k")
+    data = str(tmp_path / "cache")
+    _make_tree(root, "train", ["singing", "zumba", "bowling"], per_class=1)
+    os.makedirs(data, exist_ok=True)
+    with open(os.path.join(data, "kinetics_sound_valid.pkl"), "wb") as f:
+        pickle.dump([0, 1], f)
+    ds = AVideoDataset(
+        ds_name="kinetics_sound", root_dir=root, mode="train",
+        path_to_data_dir=data, num_data_samples=2,
+    )
+    with open(os.path.join(data, "kinetics_sound_train.txt")) as f:
+        lines = f.read().splitlines()
+    # only the 2 sound classes survive
+    assert len(lines) == 2
+    assert all(
+        any(c in ln for c in SOUND_ONLY_CLASSES_KINETICS) for ln in lines
+    )
+
+
+def test_test_mode_clip_enumeration(tmp_path):
+    root = str(tmp_path / "ds")
+    data = str(tmp_path / "cache")
+    _make_tree(root, "test", ["a"], per_class=2)
+    os.makedirs(data, exist_ok=True)
+    n_clips = 10 * 3
+    with open(os.path.join(data, "ave_valid.pkl"), "wb") as f:
+        pickle.dump(list(range(2 * n_clips)), f)
+    ds = AVideoDataset(
+        ds_name="ave", root_dir=root, mode="test",
+        path_to_data_dir=data, num_data_samples=2 * n_clips,
+    )
+    # every video appears num_ensemble_views * num_spatial_crops times
+    assert len(ds._path_to_videos) == 2 * n_clips
+    sti = ds._spatial_temporal_idx[:n_clips]
+    assert sorted(set(sti)) == list(range(n_clips))
+
+
+def test_ucf101_fold_selection(tmp_path):
+    ann = tmp_path / "ann"
+    ann.mkdir()
+    (ann / "trainlist01.txt").write_text(
+        "classA/v1.avi 1\nclassB/v2.avi 2\n"
+    )
+    (ann / "testlist01.txt").write_text("classA/v3.avi\n")
+    videos = [
+        "/root/ucf/classA/v1.avi",
+        "/root/ucf/classA/v3.avi",
+        "/root/ucf/classB/v2.avi",
+    ]
+    train_idx = select_fold_ucf101("/root/ucf", videos, str(ann), 1, True)
+    test_idx = select_fold_ucf101("/root/ucf", videos, str(ann), 1, False)
+    assert train_idx == [0, 2]
+    assert test_idx == [1]
+
+
+def test_hmdb51_fold_selection(tmp_path):
+    ann = tmp_path / "ann"
+    ann.mkdir()
+    (ann / "brush_hair_test_split1.txt").write_text(
+        "v1.avi 1\nv2.avi 2\nv3.avi 0\n"
+    )
+    videos = ["/d/brush_hair/v1.avi", "/d/brush_hair/v2.avi",
+              "/d/brush_hair/v3.avi"]
+    assert select_fold_hmdb51(videos, str(ann), 1, True) == [0]
+    assert select_fold_hmdb51(videos, str(ann), 1, False) == [1]
