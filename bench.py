@@ -21,9 +21,10 @@ import time
 
 import numpy as np
 
-# Round-1 recorded single-chip (TPU v5e) throughput; later rounds compare
-# against this. Updated when the measurement methodology changes.
-BASELINE_CLIPS_PER_SEC_PER_CHIP = None  # set after first real measurement
+# Round-1 recorded single-chip (TPU v5e) throughput for the measured config
+# (bs 16/chip, 30x112x112, 10 heads, K=309, bf16): measured 2026-08-16.
+# Later rounds compare against this.
+BASELINE_CLIPS_PER_SEC_PER_CHIP = 136.4
 
 
 def main():
@@ -85,12 +86,14 @@ def main():
     with mesh:
         for _ in range(args.warmup):
             state, metrics = step(state, batch, labels_d, rng)
-        jax.block_until_ready(metrics["loss"])
+        # NOTE: block_until_ready does not synchronize through the axon
+        # remote-TPU relay; a device->host transfer is the reliable fence.
+        float(metrics["loss"])
 
         t0 = time.perf_counter()
         for _ in range(args.steps):
             state, metrics = step(state, batch, labels_d, rng)
-        jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])
         dt = time.perf_counter() - t0
 
     clips_per_sec = args.steps * b / dt

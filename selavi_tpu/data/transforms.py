@@ -18,6 +18,16 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+def resize_frames(frames: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
+    """Bilinear THWC uint8 resize: C++ data runtime when built (threaded,
+    ~an order of magnitude faster than per-frame PIL), PIL otherwise."""
+    from selavi_tpu import native
+
+    if native.available():
+        return native.resize_bilinear_u8(frames, new_h, new_w)
+    return _resize_frames(frames, new_h, new_w)
+
+
 def _resize_frames(frames: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
     from PIL import Image
 
@@ -48,7 +58,7 @@ def random_short_side_scale_jitter(
         new_w, new_h = size, int(np.floor(h / w * size))
     else:
         new_w, new_h = int(np.floor(w / h * size)), size
-    return _resize_frames(frames, new_h, new_w)
+    return resize_frames(frames, new_h, new_w)
 
 
 def resize_short_side(frames: np.ndarray, size: int) -> np.ndarray:
@@ -59,7 +69,7 @@ def resize_short_side(frames: np.ndarray, size: int) -> np.ndarray:
         new_w, new_h = int(np.floor(w / h * size)), size
     if (new_h, new_w) == (h, w):
         return frames
-    return _resize_frames(frames, new_h, new_w)
+    return resize_frames(frames, new_h, new_w)
 
 
 def random_crop(

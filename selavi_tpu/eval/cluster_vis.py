@@ -1,0 +1,129 @@
+"""Cluster browser data export.
+
+Capability parity with /root/reference/cluster_vis/ (get_clusters_
+{vggsounds,kinetics}.py + preprocess.py): turn a checkpoint's
+``selflabels[:, 0]`` plus the dataset path list into per-cluster sample
+lists, then emit the ``data/clusters.js`` payload the static browser page
+(cluster_vis/index.html) renders. Sample entries are
+``(video_id, start_sec, end_sec, gt_class)`` — for YouTube-derived datasets
+the video id embeds as an iframe; for others the id is the relative path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from collections import defaultdict
+from typing import Optional
+
+import numpy as np
+
+
+def extract_clusters(
+    selflabels: np.ndarray,
+    video_ids: list[str],
+    gt_classes: list[str],
+    starts: Optional[list[float]] = None,
+    ends: Optional[list[float]] = None,
+    head: int = 0,
+) -> dict[int, list[tuple]]:
+    """cluster id -> [(video_id, start, end, gt_class), ...]
+    (reference get_clusters_vggsounds.py:14-52)."""
+    labels = np.asarray(selflabels)
+    if labels.ndim == 2:
+        labels = labels[:, head]
+    n = len(labels)
+    starts = starts or [0.0] * n
+    ends = ends or [10.0] * n
+    clusters = defaultdict(list)
+    for i in range(n):
+        clusters[int(labels[i])].append(
+            (video_ids[i], float(starts[i]), float(ends[i]), gt_classes[i])
+        )
+    return dict(clusters)
+
+
+def write_clusters_js(
+    clusters: dict[int, list[tuple]],
+    out_path: str,
+    shuffle_seed: int = 0,
+    max_per_cluster: int = 30,
+    meta_classes: Optional[dict] = None,
+):
+    """Emit ``clusters.js`` (reference preprocess.py:14-52): shuffled,
+    truncated per-cluster sample lists with purity stats."""
+    rng = np.random.default_rng(shuffle_seed)
+    payload = []
+    for cid in sorted(clusters):
+        samples = list(clusters[cid])
+        rng.shuffle(samples)
+        gt = [s[3] for s in samples]
+        uniq, counts = np.unique(gt, return_counts=True)
+        order = np.argsort(-counts)
+        purity = float(counts.max() / counts.sum()) if len(gt) else 0.0
+        entry = {
+            "cluster": cid,
+            "size": len(samples),
+            "purity": round(purity, 4),
+            "top_classes": [
+                {"name": str(uniq[i]), "count": int(counts[i])}
+                for i in order[:5]
+            ],
+            "samples": [
+                {
+                    "id": s[0],
+                    "start": s[1],
+                    "end": s[2],
+                    "gt": s[3],
+                    "meta": (meta_classes or {}).get(s[3], s[3]),
+                }
+                for s in samples[:max_per_cluster]
+            ],
+        }
+        payload.append(entry)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write("var clusters = ")
+        json.dump(payload, f)
+        f.write(";\n")
+    return payload
+
+
+def export_from_checkpoint(
+    ckpt_path: str,
+    dataset,
+    out_dir: str = "cluster_vis/data",
+    head: int = 0,
+    meta_classes_path: Optional[str] = None,
+):
+    """One-call export: checkpoint + dataset -> cluster_vis/data/clusters.js."""
+    with open(ckpt_path, "rb") as f:
+        payload = pickle.load(f)
+    selflabels = np.asarray(payload["selflabels"])
+
+    idx_to_class = {v: k for k, v in getattr(
+        dataset, "class_to_idx", {}
+    ).items()}
+    labels = getattr(dataset, "labels", np.zeros(len(dataset), np.int64))
+    gt_classes = [idx_to_class.get(int(l), str(int(l))) for l in labels]
+    if hasattr(dataset, "_path_to_videos"):
+        valid = list(getattr(dataset, "valid_indices"))
+        video_ids = [
+            os.path.splitext(
+                os.path.basename(dataset._path_to_videos[i])
+            )[0]
+            for i in valid
+        ]
+    else:
+        video_ids = [f"sample_{i}" for i in range(len(dataset))]
+
+    meta = None
+    if meta_classes_path and os.path.exists(meta_classes_path):
+        with open(meta_classes_path) as f:
+            meta = json.load(f)
+
+    clusters = extract_clusters(selflabels, video_ids, gt_classes, head=head)
+    return write_clusters_js(
+        clusters, os.path.join(out_dir, "clusters.js"), meta_classes=meta
+    )

@@ -96,6 +96,10 @@ class AVModel(nn.Module):
     def encode_video(self, video, train: bool = False):
         return self.video_network(video, train=train)
 
+    def video_feature_map(self, video, train: bool = False):
+        """Pre-GAP video feature map [B, t, h, w, 512] (retrieval)."""
+        return self.video_network(video, train=train, return_map=True)
+
     def encode_audio(self, audio, train: bool = False):
         return self.audio_network(audio, train=train)
 

@@ -131,7 +131,7 @@ class R2Plus1D18(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, return_map: bool = False):
         # R(2+1)D stem: spatial 7x7/2 conv to 45 mid-channels, then temporal
         # 3x1x1 conv to 64 (torchvision R2Plus1dStem equivalent).
         x = ConvBN(
@@ -158,6 +158,10 @@ class R2Plus1D18(nn.Module):
                 x, train
             )
 
+        if return_map:
+            # pre-GAP feature map [B, t, h, w, 512] (retrieval path,
+            # reference retrieval_utils.py:80-98 truncates before avgpool)
+            return x.astype(jnp.float32)
         # Global average pool over (T, H, W) -> [B, 512].
         x = jnp.mean(x, axis=(1, 2, 3))
         return x.astype(jnp.float32)

@@ -46,7 +46,8 @@ def _logsumexp(a, axis):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iters", "check_every")
+    jax.jit,
+    static_argnames=("max_iters", "check_every", "use_pallas", "interpret"),
 )
 def sinkhorn_knopp(
     log_ps: jnp.ndarray,
@@ -55,6 +56,8 @@ def sinkhorn_knopp(
     tol: float = 1e-1,
     max_iters: int = 2000,
     check_every: int = 10,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> SinkhornResult:
     """Run SK scaling iterations in the log domain.
 
@@ -80,19 +83,41 @@ def sinkhorn_knopp(
         _, _, err, it = state
         return jnp.logical_and(err > tol, it < max_iters)
 
-    def body(state):
-        _, log_beta, err, it = state
-        # alpha update: log_alpha[k] = log_r[k] - LSE_n(M[n,k] + log_beta[n])
-        log_alpha = log_r - _logsumexp(m + log_beta[:, None], axis=0)
-        # beta update: log_beta[n] = log_c - LSE_k(M[n,k] + log_alpha[k])
-        log_beta_new = log_c - _logsumexp(m + log_alpha[None, :], axis=1)
-        # reference error: sum |beta_old/beta_new - 1|, every `check_every`.
-        err = jax.lax.cond(
-            it % check_every == 0,
-            lambda: jnp.sum(jnp.abs(jnp.expm1(log_beta - log_beta_new))),
-            lambda: err,
-        )
-        return log_alpha, log_beta_new, err, it + 1
+    if use_pallas:
+        # fused single-sweep iteration (selavi_tpu.ops.sinkhorn_pallas):
+        # beta_{i+1} from alpha_i and alpha_{i+1} from beta_{i+1} in one
+        # pass over M — same fixed point, half the HBM traffic.
+        from selavi_tpu.ops.sinkhorn_pallas import fused_sk_iteration
+
+        def body(state):
+            log_alpha, log_beta, err, it = state
+            log_alpha_next, log_beta_new, err_new = fused_sk_iteration(
+                m, log_alpha, log_beta, log_r, interpret=interpret
+            )
+            err = jax.lax.cond(
+                it % check_every == 0, lambda: err_new, lambda: err
+            )
+            return log_alpha_next, log_beta_new, err, it + 1
+
+    else:
+
+        def body(state):
+            _, log_beta, err, it = state
+            # alpha update: log_alpha[k] = log_r[k] - LSE_n(M + log_beta)
+            log_alpha = log_r - _logsumexp(m + log_beta[:, None], axis=0)
+            # beta update: log_beta[n] = log_c - LSE_k(M + log_alpha)
+            log_beta_new = log_c - _logsumexp(
+                m + log_alpha[None, :], axis=1
+            )
+            # reference error: sum |beta_old/beta_new - 1|
+            err = jax.lax.cond(
+                it % check_every == 0,
+                lambda: jnp.sum(
+                    jnp.abs(jnp.expm1(log_beta - log_beta_new))
+                ),
+                lambda: err,
+            )
+            return log_alpha, log_beta_new, err, it + 1
 
     log_alpha0 = log_r - _logsumexp(m + log_beta0[:, None], axis=0)
     state0 = (log_alpha0, log_beta0, jnp.float32(1e6), jnp.int32(0))

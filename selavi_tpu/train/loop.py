@@ -178,7 +178,11 @@ class Trainer:
         )
 
     def _make_eval_iter(self):
-        """Fresh sequential full-dataset iterator for SK aggregation."""
+        """Fresh sequential full-dataset iterator for SK aggregation. Each
+        call gets a new seed so independent head groups see fresh
+        augmentations (reference re-reads the dataset per group,
+        sk_utils.py:194-196)."""
+        self._eval_iter_count = getattr(self, "_eval_iter_count", 0) + 1
         eval_loader = DataLoader(
             self.dataset,
             batch_size=min(
@@ -187,7 +191,7 @@ class Trainer:
             shuffle=False,
             drop_last=False,
             num_workers=getattr(self.args, "workers", 0),
-            seed=self.args.seed + 7919 + self.sl_state.sk_counter,
+            seed=self.args.seed + 7919 + self._eval_iter_count,
         )
         return device_prefetch(
             iter(eval_loader), sharding=self.data_sharding, depth=2

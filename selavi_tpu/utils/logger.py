@@ -42,6 +42,9 @@ def create_logger(filepath: str | None, rank: int = 0) -> logging.Logger:
     log = logging.getLogger()
     log.handlers.clear()
     log.setLevel(logging.DEBUG)
+    # library loggers (jax cache-key tracing etc.) flood DEBUG; cap at INFO
+    for noisy in ("jax", "orbax", "flax", "absl"):
+        logging.getLogger(noisy).setLevel(logging.INFO)
     formatter = _ElapsedFormatter()
 
     if filepath is not None:

@@ -1,0 +1,111 @@
+"""Device-side preprocessing and the loader/prefetcher."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from selavi_tpu.data.loader import DataLoader, device_prefetch
+from selavi_tpu.data.synthetic import SyntheticAVDataset
+from selavi_tpu.data.transforms import (
+    center_crop,
+    random_crop,
+    spatial_sampling,
+    train_scale_range,
+    uniform_crop,
+)
+from selavi_tpu.ops.preprocess import augment_video_batch, normalize_video
+
+
+def test_normalize_video_matches_reference_formula():
+    x = np.random.randint(0, 255, (2, 3, 8, 8, 3), np.uint8)
+    out = np.asarray(normalize_video(jnp.asarray(x)))
+    expected = (x.astype(np.float32) / 255.0 - 0.45) / 0.225
+    np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+
+def test_augment_flip_only_is_normalize_or_mirror():
+    x = np.random.randint(0, 255, (4, 2, 6, 6, 3), np.uint8)
+    out = np.asarray(
+        augment_video_batch(jnp.asarray(x), jax.random.PRNGKey(0))
+    )
+    norm = (x.astype(np.float32) / 255.0 - 0.45) / 0.225
+    flipped = norm[:, :, :, ::-1, :]
+    for b in range(4):
+        ok = np.allclose(out[b], norm[b], atol=1e-5) or np.allclose(
+            out[b], flipped[b], atol=1e-5
+        )
+        assert ok, b
+
+
+def test_augment_colorjitter_grayscale_shapes_and_range():
+    x = np.random.randint(0, 255, (8, 2, 6, 6, 3), np.uint8)
+    out = np.asarray(
+        augment_video_batch(
+            jnp.asarray(x),
+            jax.random.PRNGKey(1),
+            colorjitter=True,
+            grayscale=True,
+        )
+    )
+    assert out.shape == x.shape
+    assert np.isfinite(out).all()
+    # normalized range bound: x in [0,1] => out in [-2, 2.45]
+    assert out.min() >= -2.01 and out.max() <= 2.45
+
+
+def test_crops_and_scale_ranges():
+    frames = np.random.randint(0, 255, (3, 20, 30, 3), np.uint8)
+    assert center_crop(frames, 16).shape == (3, 16, 16, 3)
+    for idx in (0, 1, 2):
+        assert uniform_crop(frames, 16, idx).shape == (3, 16, 16, 3)
+    rng = np.random.default_rng(0)
+    assert random_crop(frames, 16, rng).shape == (3, 16, 16, 3)
+    assert train_scale_range(112) == (128, 160)
+    assert train_scale_range(224) == (256, 320)
+
+
+def test_spatial_sampling_test_mode_deterministic():
+    frames = np.random.randint(0, 255, (3, 40, 60, 3), np.uint8)
+    a = spatial_sampling(frames, spatial_idx=1, min_scale=32, crop_size=32)
+    b = spatial_sampling(frames, spatial_idx=1, min_scale=32, crop_size=32)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (3, 32, 32, 3)
+
+
+def test_loader_epoch_shuffle_and_determinism():
+    ds = SyntheticAVDataset(num_samples=16, num_frames=2, crop_size=16,
+                            aud_sample_rate=16000)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=3)
+    loader.set_epoch(0)
+    b0 = [b["index"].tolist() for b in loader]
+    loader.set_epoch(0)
+    b0_again = [b["index"].tolist() for b in loader]
+    assert b0 == b0_again  # deterministic per epoch
+    loader.set_epoch(1)
+    b1 = [b["index"].tolist() for b in loader]
+    assert b0 != b1  # reshuffled across epochs
+    # all samples covered, drop_last respected
+    flat = [i for batch in b0 for i in batch]
+    assert sorted(flat) == list(range(16))
+
+
+def test_loader_workers_match_serial():
+    ds = SyntheticAVDataset(num_samples=8, num_frames=2, crop_size=16,
+                            aud_sample_rate=16000)
+    serial = DataLoader(ds, batch_size=4, shuffle=False, num_workers=0)
+    threaded = DataLoader(ds, batch_size=4, shuffle=False, num_workers=4)
+    for bs, bt in zip(serial, threaded):
+        np.testing.assert_array_equal(bs["video"], bt["video"])
+        np.testing.assert_allclose(bs["audio"], bt["audio"], rtol=1e-6)
+
+
+def test_device_prefetch_preserves_order_and_content():
+    ds = SyntheticAVDataset(num_samples=8, num_frames=2, crop_size=16,
+                            aud_sample_rate=16000)
+    loader = DataLoader(ds, batch_size=2, shuffle=False)
+    host = [b["index"].tolist() for b in loader]
+    dev = [
+        np.asarray(b["index"]).tolist()
+        for b in device_prefetch(iter(loader), depth=3)
+    ]
+    assert host == dev

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Nearest-neighbor video retrieval CLI (reference
+/root/reference/video_retrieval.py + src/retrieval_utils.py:446-519 surface).
+Runs the v-v task: truncated video tower features, 10 clips/video,
+per-video averaging, Recall@{1,5,10,20,50}."""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+
+import jax
+import numpy as np
+
+from selavi_tpu.config import bool_flag
+from selavi_tpu.data.loader import DataLoader, device_prefetch
+from selavi_tpu.eval.retrieval import (
+    average_features,
+    collect_features,
+    make_retrieval_encode_fn,
+    retrieval,
+)
+from selavi_tpu.models import load_model
+from selavi_tpu.parallel.mesh import data_sharding, make_mesh
+from selavi_tpu.train.checkpoint import load_model_parameters
+from selavi_tpu.train.optim import make_optimizer
+from selavi_tpu.train.state import create_train_state
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Video retrieval")
+    parser.register("type", "bool", bool_flag)
+    parser.add_argument("--dataset", default="ucf101", type=str)
+    parser.add_argument("--root_dir", type=str, default="/path/to/dataset")
+    parser.add_argument("--data_path", type=str, default="datasets/data")
+    parser.add_argument("--fold", default=1, type=int)
+    parser.add_argument("--weights_path", default="", type=str)
+    parser.add_argument("--clip_len", default=32, type=int)
+    parser.add_argument("--steps_bet_clips", default=1, type=int)
+    parser.add_argument("--train_clips_per_video", default=10, type=int)
+    parser.add_argument("--batch_size", default=32, type=int)
+    parser.add_argument("--workers", default=8, type=int)
+    parser.add_argument("--headcount", default=10, type=int)
+    parser.add_argument("--num_clusters", default=309, type=int)
+    parser.add_argument("--pool_op", default="max", choices=["max", "avg"])
+    parser.add_argument("--norm_feats", default="True", type="bool")
+    parser.add_argument("--task", default="v-v", type=str)
+    parser.add_argument("--feature_cache", default=None, type=str,
+                        help="optional pickle cache path for features")
+    parser.add_argument("--num_data_samples", default=None, type=int)
+    return parser.parse_args(argv)
+
+
+def build_datasets(args):
+    if args.dataset == "synthetic":
+        from selavi_tpu.data.synthetic import SyntheticAVDataset
+
+        train = SyntheticAVDataset(
+            num_samples=args.num_data_samples or 64,
+            num_frames=args.clip_len, mode="train",
+        )
+        test = SyntheticAVDataset(
+            num_samples=args.num_data_samples or 64,
+            num_frames=args.clip_len, mode="test", seed=1,
+        )
+        return train, test
+    from selavi_tpu.data.dataset import AVideoDataset
+
+    train = AVideoDataset(
+        ds_name=args.dataset, root_dir=args.root_dir, mode="train",
+        num_frames=args.clip_len, sample_rate=args.steps_bet_clips,
+        num_train_clips=args.train_clips_per_video, train_crop_size=112,
+        fold=args.fold, decode_audio=False,
+        path_to_data_dir=args.data_path,
+    )
+    test = AVideoDataset(
+        ds_name=args.dataset, root_dir=args.root_dir, mode="test",
+        num_frames=args.clip_len, sample_rate=args.steps_bet_clips,
+        num_spatial_crops=1, num_ensemble_views=args.train_clips_per_video,
+        test_crop_size=112, fold=args.fold, decode_audio=False,
+        path_to_data_dir=args.data_path,
+    )
+    return train, test
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    train_ds, test_ds = build_datasets(args)
+
+    model = load_model(headcount=args.headcount,
+                       num_classes=args.num_clusters)
+    example = train_ds.get_example(0, np.random.default_rng(0))
+    spec_shape = example.get("audio", np.zeros((40, 99), np.float32)).shape
+    state = create_train_state(
+        model, make_optimizer(0.01, 0.0), jax.random.PRNGKey(0),
+        (2,) + example["video"].shape, (2,) + spec_shape + (1,),
+    )
+    if args.weights_path and args.weights_path != "None":
+        state = load_model_parameters(state, args.weights_path)
+
+    mesh = make_mesh()
+    dsh = data_sharding(mesh)
+    encode = make_retrieval_encode_fn(model, pool_op=args.pool_op)
+
+    def encode_fn(video):
+        return encode(state.params, state.batch_stats, video)
+
+    feats = {}
+    for split, ds in (("train", train_ds), ("val", test_ds)):
+        loader = DataLoader(ds, batch_size=args.batch_size, shuffle=False,
+                            drop_last=False, num_workers=args.workers)
+        f, v, l = collect_features(
+            encode_fn, device_prefetch(iter(loader), sharding=dsh)
+        )
+        feats[split] = average_features(f, v, l, norm_feats=args.norm_feats)
+
+    tf, _, tl = feats["train"]
+    vf, _, vl = feats["val"]
+    recalls = retrieval(tf, tl, vf, vl)
+    if args.feature_cache:
+        with open(args.feature_cache, "wb") as fh:
+            pickle.dump({"train": feats["train"], "val": feats["val"]}, fh)
+    print({f"R@{k}": round(v, 2) for k, v in recalls.items()})
+    return recalls
+
+
+if __name__ == "__main__":
+    main()
