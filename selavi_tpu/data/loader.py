@@ -35,20 +35,27 @@ class DataLoader:
         drop_last: bool = True,
         num_workers: int = 0,
         seed: int = 0,
+        rank: int = 0,
+        world_size: int = 1,
     ):
+        """``batch_size`` is the per-process batch; with ``world_size`` > 1
+        each process iterates a strided subset of the epoch permutation
+        (the reference's DistributedSampler strategy)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = num_workers
         self.seed = seed
+        self.rank = rank
+        self.world_size = world_size
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.world_size
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -56,9 +63,20 @@ class DataLoader:
     def _order(self) -> np.ndarray:
         n = len(self.dataset)
         if not self.shuffle:
-            return np.arange(n)
-        rng = np.random.default_rng((self.seed, self.epoch))
-        return rng.permutation(n)
+            order = np.arange(n)
+        else:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            order = rng.permutation(n)
+        if self.world_size > 1:
+            # same permutation on every process (seeded), strided subset;
+            # pad by wrapping so every process yields equally many batches
+            # (duplicated indices are harmless: training resamples, eval
+            # scatter-by-index is idempotent)
+            pad = (-len(order)) % self.world_size
+            if pad and not self.drop_last:
+                order = np.concatenate([order, order[:pad]])
+            order = order[self.rank :: self.world_size]
+        return order
 
     def _collate(self, examples) -> dict:
         batch = {}
@@ -123,11 +141,21 @@ def device_prefetch(
     batch_iter: Iterator[dict],
     sharding=None,
     depth: int = 2,
+    mesh=None,
 ) -> Iterator[dict]:
-    """Keep ``depth`` batches in flight on device (double buffering)."""
+    """Keep ``depth`` batches in flight on device (double buffering).
+
+    With ``mesh`` given, batches are assembled as globally-sharded arrays
+    from per-process shards (multi-host pods); otherwise a plain
+    device_put with ``sharding``.
+    """
     queue: collections.deque = collections.deque()
 
     def put(b):
+        if mesh is not None:
+            from selavi_tpu.parallel.mesh import global_batch_from_local
+
+            return global_batch_from_local(mesh, b)
         if sharding is None:
             return jax.tree.map(jax.device_put, b)
         return jax.tree.map(lambda x: jax.device_put(x, sharding), b)

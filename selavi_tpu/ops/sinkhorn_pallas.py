@@ -149,7 +149,8 @@ def _fused_sk_kernel_with_scalars(
     log_beta_new = log_c - (zmax + jnp.log(zsum))
     beta_out_ref[:, :] = jnp.where(row_valid, log_beta_new, 0.0)
 
-    diff = jnp.abs(jnp.expm1(log_beta_ref[:, :] - log_beta_new))
+    # expm1 has no Pallas TPU lowering; exp(x)-1 is fine at tol=0.1
+    diff = jnp.abs(jnp.exp(log_beta_ref[:, :] - log_beta_new) - 1.0)
     err_ref[0, 0] += jnp.sum(jnp.where(row_valid, diff, 0.0))
 
     w = m + log_beta_new

@@ -45,3 +45,21 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Device-put a host batch with the leading axis over 'data'."""
     s = data_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def global_batch_from_local(mesh: Mesh, local_batch: dict) -> dict:
+    """Assemble a globally-sharded batch from per-host shards.
+
+    Single-host: plain device_put with the data sharding. Multi-host: each
+    process contributes its local arrays as its address-local shards of the
+    global batch (``jax.make_array_from_process_local_data``) — the TPU-pod
+    replacement for the reference's DistributedSampler per-rank subsets
+    (/root/reference/main.py:93-101).
+    """
+    s = data_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, s), local_batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        local_batch,
+    )

@@ -56,6 +56,8 @@ class SKConfig:
     diff_dist_per_head: bool = True
     sk_tol: float = 1e-1
     sk_max_iters: int = 2000
+    # 'auto': fused Pallas iteration on TPU, XLA elsewhere
+    sk_backend: str = "auto"  # 'auto' | 'xla' | 'pallas'
 
 
 def aggregate_features(
@@ -173,12 +175,17 @@ def cluster(
                 rng=np_rng,
             )
             t0 = time.time()
+            use_pallas = cfg.sk_backend == "pallas" or (
+                cfg.sk_backend == "auto"
+                and jax.default_backend() == "tpu"
+            )
             res = sinkhorn_knopp(
                 log_ps,
                 jnp.asarray(log_r),
                 lamb=cfg.lamb,
                 tol=cfg.sk_tol,
                 max_iters=cfg.sk_max_iters,
+                use_pallas=use_pallas,
             )
             new_labels[:, head] = np.asarray(res.labels)
             costs.append(float(res.cost))

@@ -57,9 +57,13 @@ def get_marginal(
 ) -> tuple[np.ndarray, MarginalState]:
     """Return ``log r`` (length K, normalized) and the updated cache state."""
     k = num_clusters
-    if distribution == "default":
+    if distribution != "gauss":
+        # 'default' — and any other choice (e.g. the reference CLI's 'zipf',
+        # which its solver never implements: sk_utils.py:367-388 only
+        # special-cases 'gauss', so anything else degenerates to uniform
+        # sizes): ones.
         k_dist = np.ones((k,), np.float64)
-    elif distribution == "gauss":
+    else:
         if rng is None:
             rng = np.random.default_rng(0)
         if state.dists is None or diff_dist_every:
@@ -82,8 +86,6 @@ def get_marginal(
             new_dists = state.dists.copy()
             new_dists[head] = k_dist  # cache mutates, as in the reference
             state = MarginalState(dists=new_dists)
-    else:
-        raise ValueError(f"unsupported distribution: {distribution!r}")
 
     r = 1.0 / k_dist
     r = r / r.sum()

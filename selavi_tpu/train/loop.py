@@ -73,13 +73,17 @@ class Trainer:
             dtype=compute_dtype,
         )
 
+        n_proc = jax.process_count()
         self.loader = DataLoader(
             dataset,
-            batch_size=args.batch_size * self.n_devices,
+            # per-process batch; global batch = bs/chip * all chips
+            batch_size=args.batch_size * self.n_devices // n_proc,
             shuffle=True,
             drop_last=True,
             num_workers=getattr(args, "workers", 0),
             seed=args.seed,
+            rank=jax.process_index(),
+            world_size=n_proc,
         )
         self.batches_per_epoch = len(self.loader)
         n = len(dataset)
@@ -175,6 +179,7 @@ class Trainer:
             iter(self.loader),
             sharding=self.data_sharding,
             depth=getattr(self.args, "prefetch", 2),
+            mesh=self.mesh if jax.process_count() > 1 else None,
         )
 
     def _make_eval_iter(self):
@@ -183,18 +188,24 @@ class Trainer:
         augmentations (reference re-reads the dataset per group,
         sk_utils.py:194-196)."""
         self._eval_iter_count = getattr(self, "_eval_iter_count", 0) + 1
+        n_proc = jax.process_count()
         eval_loader = DataLoader(
             self.dataset,
             batch_size=min(
-                64 * self.n_devices, max(len(self.dataset), 1)
+                64 * self.n_devices // n_proc, max(len(self.dataset), 1)
             ),
             shuffle=False,
             drop_last=False,
             num_workers=getattr(self.args, "workers", 0),
             seed=self.args.seed + 7919 + self._eval_iter_count,
+            rank=jax.process_index(),
+            world_size=n_proc,
         )
         return device_prefetch(
-            iter(eval_loader), sharding=self.data_sharding, depth=2
+            iter(eval_loader),
+            sharding=self.data_sharding,
+            depth=2,
+            mesh=self.mesh if n_proc > 1 else None,
         )
 
     def maybe_cluster(self, iteration: int) -> bool:

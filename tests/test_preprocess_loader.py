@@ -109,3 +109,20 @@ def test_device_prefetch_preserves_order_and_content():
         for b in device_prefetch(iter(loader), depth=3)
     ]
     assert host == dev
+
+
+def test_loader_multiprocess_striding_covers_all():
+    ds = SyntheticAVDataset(num_samples=10, num_frames=2, crop_size=16,
+                            aud_sample_rate=16000)
+    seen = []
+    lengths = []
+    for rank in range(4):
+        loader = DataLoader(ds, batch_size=1, shuffle=True, seed=5,
+                            drop_last=False, rank=rank, world_size=4)
+        idxs = [int(b["index"][0]) for b in loader]
+        lengths.append(len(idxs))
+        seen.extend(idxs)
+    # equal per-process batch counts (padding by wrap)
+    assert len(set(lengths)) == 1
+    # every sample covered at least once
+    assert set(seen) == set(range(10))
