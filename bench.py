@@ -40,6 +40,13 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    # persistent compile cache: repeat bench runs skip XLA recompiles
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from selavi_tpu.models import load_model

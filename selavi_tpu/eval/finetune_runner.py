@@ -149,8 +149,34 @@ def run_fold(
         model, tx, compute_dtype=model.dtype
     )
 
+    # reference finetune checkpointing (utils.py:191-216): per-epoch
+    # checkpoint + periodic archives under output_dir
+    ckpt_dir = None
+    start_epoch = 0
+    if getattr(args, "output_dir", None):
+        import os
+
+        ckpt_dir = os.path.join(args.output_dir, "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        resume_path = os.path.join(ckpt_dir, f"checkpoint_fold{fold}.pkl")
+        if getattr(args, "resume", "") and os.path.isfile(resume_path):
+            with open(resume_path, "rb") as f:
+                blob = pickle.load(f)
+            params = serialization.from_bytes(
+                jax.device_get(params), blob["params"]
+            )
+            batch_stats = serialization.from_bytes(
+                jax.device_get(batch_stats), blob["batch_stats"]
+            )
+            opt_state = serialization.from_bytes(
+                jax.device_get(opt_state), blob["opt_state"]
+            )
+            start_epoch = blob["epoch"]
+            logger.info("resumed finetune fold %d at epoch %d", fold,
+                        start_epoch)
+
     best1, best5, best_epoch = -1.0, -1.0, 0
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         loader.set_epoch(epoch)
         losses, top1 = AverageMeter(), AverageMeter()
         for it, batch in enumerate(
@@ -178,6 +204,22 @@ def run_fold(
         )
         if vid1 > best1:
             best1, best5, best_epoch = vid1, vid5, epoch
+        if ckpt_dir is not None:
+            import os
+
+            blob = {
+                "params": serialization.to_bytes(jax.device_get(params)),
+                "batch_stats": serialization.to_bytes(
+                    jax.device_get(batch_stats)
+                ),
+                "opt_state": serialization.to_bytes(
+                    jax.device_get(opt_state)
+                ),
+                "epoch": epoch + 1,
+            }
+            path = os.path.join(ckpt_dir, f"checkpoint_fold{fold}.pkl")
+            with open(path, "wb") as f:
+                pickle.dump(blob, f)
     return best1, best5, best_epoch
 
 

@@ -28,16 +28,16 @@ def dump_cluster_matrices(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (PS_v [H,N,K], labels [N], PS_a [H,N,K]) and writes the
     reference-schema pickle (list of per-head matrices)."""
-    ps_v = None
-    ps_a = None
+    from selavi_tpu.selflabel.engine import _scatter_features
+
     labels = np.zeros(n, np.int64)
     feats_v = jnp.zeros((n, 512), jnp.float32)
     feats_a = jnp.zeros((n, 512), jnp.float32)
     for batch in batch_iter:
         fv, fa = encode_fn(batch["video"], batch["audio"])
-        idx = jnp.asarray(batch["index"])
-        feats_v = feats_v.at[idx].set(fv.astype(jnp.float32))
-        feats_a = feats_a.at[idx].set(fa.astype(jnp.float32))
+        feats_v, feats_a = _scatter_features(
+            feats_v, feats_a, fv, fa, jnp.asarray(batch["index"])
+        )
         labels[np.asarray(batch["index"])] = np.asarray(batch["label"])
 
     ps_v = np.asarray(head_logits_fn(feats_v, "v"))  # [H, N, K]

@@ -58,6 +58,19 @@ class SKConfig:
     sk_max_iters: int = 2000
     # 'auto': fused Pallas iteration on TPU, XLA elsewhere
     sk_backend: str = "auto"  # 'auto' | 'xla' | 'pallas'
+    feat_dim: int = 512  # encoder GAP feature width
+
+
+import functools
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_features(ps_v, ps_a, feat_v, feat_a, idx):
+    # donated buffers -> true in-place dynamic-update-scatter on device
+    return (
+        ps_v.at[idx].set(feat_v.astype(jnp.float32)),
+        ps_a.at[idx].set(feat_a.astype(jnp.float32)),
+    )
 
 
 def aggregate_features(
@@ -70,14 +83,16 @@ def aggregate_features(
 
     ``encode_fn(video, audio) -> (feat_v, feat_a)`` must be jitted eval-mode
     GAP features. Batches carry an ``index`` array (dataset positions).
+    The [N, D] accumulators are donated back to the scatter each step, so
+    aggregation is in-place on device (no per-batch [N, D] copies).
     """
     ps_v = jnp.zeros((n, feat_dim), jnp.float32)
     ps_a = jnp.zeros((n, feat_dim), jnp.float32)
     for batch in batch_iter:
         feat_v, feat_a = encode_fn(batch["video"], batch["audio"])
-        idx = jnp.asarray(batch["index"])
-        ps_v = ps_v.at[idx].set(feat_v.astype(jnp.float32))
-        ps_a = ps_a.at[idx].set(feat_a.astype(jnp.float32))
+        ps_v, ps_a = _scatter_features(
+            ps_v, ps_a, feat_v, feat_a, jnp.asarray(batch["index"])
+        )
     return ps_v, ps_a
 
 
@@ -129,7 +144,7 @@ def cluster(
 
         # 1. full-dataset eval-mode feature aggregation (fresh augs per group)
         ps_v, ps_a = aggregate_features(
-            encode_fn, make_batch_iter(), n, feat_dim=512
+            encode_fn, make_batch_iter(), n, feat_dim=cfg.feat_dim
         )
 
         # 2. modality alignment at the very first SK step
