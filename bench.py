@@ -37,7 +37,15 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--metric", type=str, default="train",
+                   choices=["train", "sk"],
+                   help="train: clips/s/chip; sk: Sinkhorn iters/s at "
+                        "VGG-Sound scale")
     args = p.parse_args()
+
+    if args.metric == "sk":
+        _bench_sk(args)
+        return
 
     import jax
 
@@ -117,6 +125,46 @@ def main():
                 "value": round(per_chip, 2),
                 "unit": "clips/s/chip",
                 "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+BASELINE_SK_ITERS_PER_SEC = 524.6  # XLA solver, r1 measurement
+
+
+def _bench_sk(args):
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from selavi_tpu.selflabel.sinkhorn import sinkhorn_knopp
+
+    n, k = 170752, args.clusters
+    rng = np.random.default_rng(0)
+    log_ps = jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((n, k)), jnp.float32), 1
+    ) + jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((n, k)), jnp.float32), 1
+    )
+    log_r = jnp.full((k,), -jnp.log(jnp.float32(k)))
+    use_pallas = jax.default_backend() == "tpu"
+    res = sinkhorn_knopp(log_ps, log_r, use_pallas=use_pallas)
+    int(res.iters)
+    t0 = time.perf_counter()
+    res = sinkhorn_knopp(log_ps, log_r, use_pallas=use_pallas)
+    iters = int(res.iters)
+    dt = time.perf_counter() - t0
+    value = iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "sk_iters_per_sec",
+                "value": round(value, 1),
+                "unit": "iters/s",
+                "vs_baseline": round(value / BASELINE_SK_ITERS_PER_SEC, 3),
             }
         )
     )

@@ -160,4 +160,7 @@ def parse_arguments() -> argparse.ArgumentParser:
                         help="BN running-stat warmup batches before epoch 0")
     parser.add_argument("--prefetch", type=int, default=2,
                         help="host->device prefetch depth")
+    parser.add_argument("--trace_profile", type="bool", default="False",
+                        help="capture a jax.profiler trace of epoch 0 "
+                             "into {dump_path}/profile")
     return parser

@@ -175,6 +175,15 @@ def run_fold(
             logger.info("resumed finetune fold %d at epoch %d", fold,
                         start_epoch)
 
+    if getattr(args, "test_only", False):
+        # evaluation-only mode (reference finetune_video.py:283-292)
+        _, vid1, vid5 = evaluate(
+            eval_step, params, batch_stats,
+            device_prefetch(iter(loader_test), sharding=dsh),
+            writer=writer, epoch=start_epoch, ds=args.dataset,
+        )
+        return vid1, vid5, start_epoch
+
     best1, best5, best_epoch = -1.0, -1.0, 0
     for epoch in range(start_epoch, args.epochs):
         loader.set_epoch(epoch)

@@ -319,9 +319,16 @@ class Trainer:
         start_epoch = self.resume()
         if start_epoch == 0:
             self.warmup_batchnorm()
+        trace_first = getattr(self.args, "trace_profile", False)
         for epoch in range(start_epoch, self.args.epochs):
             logger.info("============ Starting epoch %i ============", epoch)
-            avg_loss = self.train_epoch(epoch)
+            if trace_first and epoch == start_epoch:
+                from selavi_tpu.utils.profiling import trace_window
+
+                with trace_window(self.args.dump_path):
+                    avg_loss = self.train_epoch(epoch)
+            else:
+                avg_loss = self.train_epoch(epoch)
             self.checkpoint(epoch)
             self._history.append({"epoch": epoch, "loss": avg_loss})
         return self._history
