@@ -41,13 +41,16 @@ class AVModel(nn.Module):
     headcount: int = 1
     num_classes: int = 256
     dtype: Dtype = jnp.float32
+    conv_impl: str = "3d"  # video tower conv expression (see r2plus1d.py)
 
     def setup(self):
         if self.vid_base_arch != "r2plus1d_18":
             raise ValueError(
                 f"unsupported video arch: {self.vid_base_arch!r}"
             )
-        self.video_network = R2Plus1D18(dtype=self.dtype)
+        self.video_network = R2Plus1D18(
+            dtype=self.dtype, conv_impl=self.conv_impl
+        )
         self.audio_network = AudioResNet(
             arch=self.aud_base_arch, dtype=self.dtype
         )
@@ -120,6 +123,7 @@ def load_model(
     headcount: int = 1,
     num_classes: int = 256,
     dtype: Dtype = jnp.float32,
+    conv_impl: str = "3d",
     **_unused,
 ) -> AVModel:
     """Factory mirroring the reference ``load_model`` surface
@@ -132,4 +136,5 @@ def load_model(
         headcount=headcount,
         num_classes=num_classes,
         dtype=dtype,
+        conv_impl=conv_impl,
     )

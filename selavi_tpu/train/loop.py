@@ -118,6 +118,11 @@ class Trainer:
         self.bn_warmup_step = make_bn_warmup_step(
             self.model, compute_dtype=compute_dtype
         )
+        # NOTE on conv_impl: the '2d' expression looked 3x faster in a
+        # single-conv microbenchmark but is catastrophically slower at SK
+        # batch sizes (24 vs 563 clips/s at bs 64 on v5e) — XLA's 2D conv
+        # algorithm choice degrades with huge B*T. Both train and eval use
+        # '3d'; models/convert.py keeps the expressions interchangeable.
         self.encode = make_encode_fn(self.model, compute_dtype=compute_dtype)
         self.head_logits = make_head_logits_fn(self.model)
 
