@@ -90,7 +90,22 @@ def main(argv=None):
         (2,) + example["video"].shape,
         (2,) + example["audio"].shape + (1,),
     )
-    state = load_model_parameters(state, args.weights_path)
+    if args.weights_path.endswith((".pth", ".pth.tar")):
+        # reference PyTorch checkpoint -> flax trees
+        from selavi_tpu.train.torch_import import import_reference_checkpoint
+
+        params, batch_stats = import_reference_checkpoint(
+            args.weights_path, headcount=args.headcount,
+            use_mlp=args.use_mlp,
+        )
+        import jax.numpy as jnp
+
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, params),
+            batch_stats=jax.tree.map(jnp.asarray, batch_stats),
+        )
+    else:
+        state = load_model_parameters(state, args.weights_path)
 
     mesh = make_mesh()
     dsh = data_sharding(mesh)

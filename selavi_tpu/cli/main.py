@@ -59,6 +59,15 @@ def main(argv=None):
     parser = parse_arguments()
     args = parser.parse_args(argv)
 
+    # persistent XLA compile cache: restarts/resumes skip recompilation
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
+    except Exception:
+        pass
+
     init_distributed_mode(args)
     init_signal_handler()
     fix_random_seeds(args.seed)

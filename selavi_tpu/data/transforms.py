@@ -110,8 +110,10 @@ def spatial_sampling(
     rng: Optional[np.random.Generator] = None,
 ) -> np.ndarray:
     """Train (spatial_idx == -1): scale jitter + random crop.
-    Test (0/1/2): fixed short-side resize + uniform crop.
-    (reference video_transforms.py:420-467; flips happen on device.)
+    Test (0/1/2): fixed short-side resize + uniform crop; 3/4/5 are the
+    horizontally-flipped variants of 0/1/2.
+    (reference video_transforms.py:420-460; train-mode flips happen fused
+    on device, test-mode flips here since they are deterministic.)
     """
     if spatial_idx == -1:
         assert rng is not None
@@ -120,8 +122,11 @@ def spatial_sampling(
         )
         frames = random_crop(frames, crop_size, rng)
     else:
+        assert spatial_idx in (0, 1, 2, 3, 4, 5)
         frames = resize_short_side(frames, min_scale)
-        frames = uniform_crop(frames, crop_size, spatial_idx)
+        frames = uniform_crop(frames, crop_size, spatial_idx % 3)
+        if spatial_idx >= 3:
+            frames = frames[:, :, ::-1, :]
     return frames
 
 

@@ -10,10 +10,15 @@ as one fused XLA program feeding straight into the conv stem:
   (reference video_transforms.py:13-14, 473-480);
 * per-sample horizontal flip with probability 0.5;
 * color jitter (brightness/contrast/saturation, strength 0.4, applied with
-  probability 0.8) and grayscale (probability 0.2). Reference torchvision
-  jitter applies the three adjustments in random order; here the order is
-  fixed (b, c, s) with the same factor distributions — the composition
-  differs only at second order in the jitter strength.
+  probability 0.8) and grayscale (probability 0.2). Two documented
+  deviations from the reference: (a) torchvision applies the three
+  adjustments in random order — here the order is fixed (b, c, s) with the
+  same factor distributions (differs only at second order in the jitter
+  strength); (b) the reference jitters *already-normalized* frames
+  (clip_augmentation normalizes first, video_transforms.py:473-495) —
+  here jitter acts in [0,1] space before normalization, the conventional
+  torchvision composition. Both only matter when --colorjitter is on
+  (off in the pretraining recipe; finetuning uses it).
 
 Batches stay sharded over the mesh's data axis; all ops are elementwise or
 per-sample reductions, so GSPMD needs no collectives here.

@@ -275,13 +275,16 @@ class Trainer:
             self.state, metrics = self.train_step(
                 self.state, batch, labels, sub
             )
-            loss = float(metrics["loss"])
-            losses.update(loss, batch["video"].shape[0])
+            # no per-step host sync: fetch the loss only at the logging
+            # cadence so device dispatch stays async (a float() per step
+            # would serialize host<->device every iteration)
             batch_time.update(time.time() - end)
             end = time.time()
 
             iteration = epoch * self.batches_per_epoch + it
             if it % 50 == 0 and jax.process_index() == 0:
+                loss = float(metrics["loss"])
+                losses.update(loss, batch["video"].shape[0])
                 logger.info(
                     "Epoch: [%d][%d]\tTime %.3f (%.3f)\tData %.3f (%.3f)\t"
                     "Loss %.4f (%.4f)",
@@ -306,6 +309,8 @@ class Trainer:
                 self.checkpoint(epoch)
                 logger.warning("preemption checkpoint written; exiting")
                 raise SystemExit(0)
+        # final sync so the returned epoch loss reflects the last step
+        losses.update(float(metrics["loss"]), 1)
         return losses.avg
 
     def checkpoint(self, epoch: int):

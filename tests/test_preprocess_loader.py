@@ -126,3 +126,13 @@ def test_loader_multiprocess_striding_covers_all():
     assert len(set(lengths)) == 1
     # every sample covered at least once
     assert set(seen) == set(range(10))
+
+
+def test_spatial_sampling_flipped_test_crops():
+    frames = np.random.randint(0, 255, (2, 40, 60, 3), np.uint8)
+    for idx in range(3):
+        plain = spatial_sampling(frames, spatial_idx=idx, min_scale=32,
+                                 crop_size=32)
+        flipped = spatial_sampling(frames, spatial_idx=idx + 3,
+                                   min_scale=32, crop_size=32)
+        np.testing.assert_array_equal(plain[:, :, ::-1, :], flipped)
