@@ -70,21 +70,28 @@ def make_retrieval_encode_fn(model, pool_op: str = "max", compute_dtype=jnp.floa
 
 
 def collect_features(
-    encode_fn: Callable, batch_iter: Iterator[dict]
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Run the encoder over a split; returns (features, vid_indices, labels)
-    with one row per clip."""
-    feats, vids, labels = [], [], []
+    encode_fn: Callable,
+    batch_iter: Iterator[dict],
+    audio_encode_fn: Optional[Callable] = None,
+):
+    """Run the encoder(s) over a split; returns (features, vid_indices,
+    labels[, audio_features]) with one row per clip."""
+    feats, vids, labels, afeats = [], [], [], []
     for batch in batch_iter:
         f = np.asarray(encode_fn(batch["video"]))
         feats.append(f)
         vids.append(np.asarray(batch["vid_idx"]))
         labels.append(np.asarray(batch["label"]))
-    return (
+        if audio_encode_fn is not None:
+            afeats.append(np.asarray(audio_encode_fn(batch["audio"])))
+    out = (
         np.concatenate(feats),
         np.concatenate(vids),
         np.concatenate(labels),
     )
+    if audio_encode_fn is not None:
+        return out + (np.concatenate(afeats),)
+    return out
 
 
 def average_features(
@@ -113,6 +120,35 @@ def average_features(
         np.asarray(avg_vids),
         np.asarray(avg_labels),
     )
+
+
+def make_audio_encode_fn(model, compute_dtype=jnp.float32):
+    """Jitted audio GAP features [B,F,T,1] -> [B,512] (for a-a/v-a/a-v
+    retrieval tasks, reference retrieval_utils.py:391-407)."""
+
+    @jax.jit
+    def encode(params, batch_stats, audio):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            audio.astype(compute_dtype),
+            train=False,
+            method=model.encode_audio,
+        ).astype(jnp.float32)
+
+    return encode
+
+
+def select_task_features(task: str, train_v, train_a, val_v, val_a):
+    """Pick (train, val) feature sets for a retrieval task
+    (reference retrieval_utils.py:379-407)."""
+    assert task in ("v-v", "v-a", "a-v", "a-a"), task
+    if task in ("v-a", "a-v", "a-a"):
+        assert train_a is not None and val_a is not None, (
+            f"task {task} needs audio features"
+        )
+    feat_val = val_v if task.startswith("v") else val_a
+    feat_train = train_v if task.endswith("v") else train_a
+    return feat_train, feat_val
 
 
 def retrieval(

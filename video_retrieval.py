@@ -52,6 +52,7 @@ def parse_args(argv=None):
 
 
 def build_datasets(args):
+    need_audio = args.task != "v-v"
     if args.dataset == "synthetic":
         from selavi_tpu.data.synthetic import SyntheticAVDataset
 
@@ -70,14 +71,14 @@ def build_datasets(args):
         ds_name=args.dataset, root_dir=args.root_dir, mode="train",
         num_frames=args.clip_len, sample_rate=args.steps_bet_clips,
         num_train_clips=args.train_clips_per_video, train_crop_size=112,
-        fold=args.fold, decode_audio=False,
+        fold=args.fold, decode_audio=need_audio,
         path_to_data_dir=args.data_path,
     )
     test = AVideoDataset(
         ds_name=args.dataset, root_dir=args.root_dir, mode="test",
         num_frames=args.clip_len, sample_rate=args.steps_bet_clips,
         num_spatial_crops=1, num_ensemble_views=args.train_clips_per_video,
-        test_crop_size=112, fold=args.fold, decode_audio=False,
+        test_crop_size=112, fold=args.fold, decode_audio=need_audio,
         path_to_data_dir=args.data_path,
     )
     return train, test
@@ -101,6 +102,13 @@ def main(argv=None):
     mesh = make_mesh()
     dsh = data_sharding(mesh)
     encode = make_retrieval_encode_fn(model, pool_op=args.pool_op)
+    need_audio = args.task != "v-v"
+    audio_encode = None
+    if need_audio:
+        from selavi_tpu.eval.retrieval import make_audio_encode_fn
+
+        aenc = make_audio_encode_fn(model)
+        audio_encode = lambda a: aenc(state.params, state.batch_stats, a)
 
     def encode_fn(video):
         return encode(state.params, state.batch_stats, video)
@@ -109,14 +117,27 @@ def main(argv=None):
     for split, ds in (("train", train_ds), ("val", test_ds)):
         loader = DataLoader(ds, batch_size=args.batch_size, shuffle=False,
                             drop_last=False, num_workers=args.workers)
-        f, v, l = collect_features(
-            encode_fn, device_prefetch(iter(loader), sharding=dsh)
+        out = collect_features(
+            encode_fn,
+            device_prefetch(iter(loader), sharding=dsh),
+            audio_encode_fn=audio_encode,
         )
+        f, v, l = out[:3]
         feats[split] = average_features(f, v, l, norm_feats=args.norm_feats)
+        if need_audio:
+            af, av, al = average_features(
+                out[3], v, l, norm_feats=args.norm_feats
+            )
+            feats[split + "_audio"] = (af, av, al)
+
+    from selavi_tpu.eval.retrieval import select_task_features
 
     tf, _, tl = feats["train"]
     vf, _, vl = feats["val"]
-    recalls = retrieval(tf, tl, vf, vl)
+    ta = feats.get("train_audio", (None,))[0]
+    va = feats.get("val_audio", (None,))[0]
+    feat_train, feat_val = select_task_features(args.task, tf, ta, vf, va)
+    recalls = retrieval(feat_train, tl, feat_val, vl)
     if args.feature_cache:
         with open(args.feature_cache, "wb") as fh:
             pickle.dump({"train": feats["train"], "val": feats["val"]}, fh)
