@@ -342,8 +342,14 @@ class AVideoDataset:
             "vid_idx": self._vid_indices[index],
         }
         if self.decode_audio and specs:
-            out["audio"] = np.concatenate(specs, axis=0)[0] if num_clips == 1 \
-                else np.concatenate([s[0] for s in specs], axis=1)
+            if num_clips == 1:
+                out["audio"] = specs[0][0]  # [F, T]
+            else:
+                # dual_data: the reference concatenates the two [1,F,T]
+                # specs along the channel axis (AVideoDataset.py:451)
+                out["audio"] = np.stack(
+                    [s[0] for s in specs], axis=-1
+                )  # [F, T, 2]
         return out
 
     def _decode_one(self, index, clip_idx, num_clips, rng):

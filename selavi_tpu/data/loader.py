@@ -81,7 +81,9 @@ class DataLoader:
     def _collate(self, examples) -> dict:
         batch = {}
         video = np.stack([e["video"] for e in examples])
-        audio = np.stack([e["audio"] for e in examples])[..., None]
+        audio = np.stack([e["audio"] for e in examples])
+        if audio.ndim == 3:  # [B, F, T] -> add channel axis
+            audio = audio[..., None]
         batch["video"] = video
         batch["audio"] = audio.astype(np.float32)
         batch["label"] = np.asarray(
