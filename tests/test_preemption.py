@@ -41,12 +41,17 @@ def test_preemption_checkpoints_and_exits(tmp_path):
     )
     trainer = Trainer(args, dataset)
     init_signal_handler()
-    os.kill(os.getpid(), signal.SIGUSR1)  # preempt before the first step
-    with pytest.raises(SystemExit):
-        trainer.train_epoch(0)
-    assert os.path.isfile(os.path.join(str(tmp_path), "checkpoint.msgpack"))
+    try:
+        os.kill(os.getpid(), signal.SIGUSR1)  # preempt before first step
+        with pytest.raises(SystemExit):
+            trainer.train_epoch(0)
+        assert os.path.isfile(
+            os.path.join(str(tmp_path), "checkpoint.msgpack")
+        )
 
-    # a fresh trainer resumes from the preemption checkpoint
-    trainer2 = Trainer(args, dataset)
-    start = trainer2.resume()
-    assert start == 1
+        # a fresh trainer resumes from the preemption checkpoint
+        trainer2 = Trainer(args, dataset)
+        start = trainer2.resume()
+        assert start == 1
+    finally:
+        init_signal_handler()  # clear the flag for later tests

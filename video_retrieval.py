@@ -113,22 +113,40 @@ def main(argv=None):
     def encode_fn(video):
         return encode(state.params, state.batch_stats, video)
 
-    feats = {}
-    for split, ds in (("train", train_ds), ("val", test_ds)):
-        loader = DataLoader(ds, batch_size=args.batch_size, shuffle=False,
-                            drop_last=False, num_workers=args.workers)
-        out = collect_features(
-            encode_fn,
-            device_prefetch(iter(loader), sharding=dsh),
-            audio_encode_fn=audio_encode,
-        )
-        f, v, l = out[:3]
-        feats[split] = average_features(f, v, l, norm_feats=args.norm_feats)
-        if need_audio:
-            af, av, al = average_features(
-                out[3], v, l, norm_feats=args.norm_feats
+    # optional feature cache (reference retrieval_utils.py:260-315
+    # load_or_get_features): load if present, else compute and save
+    feats = None
+    if args.feature_cache:
+        import os
+
+        if os.path.isfile(args.feature_cache):
+            with open(args.feature_cache, "rb") as fh:
+                feats = pickle.load(fh)
+            print(f"loaded cached features from {args.feature_cache}")
+
+    if feats is None:
+        feats = {}
+        for split, ds in (("train", train_ds), ("val", test_ds)):
+            loader = DataLoader(ds, batch_size=args.batch_size,
+                                shuffle=False, drop_last=False,
+                                num_workers=args.workers)
+            out = collect_features(
+                encode_fn,
+                device_prefetch(iter(loader), sharding=dsh),
+                audio_encode_fn=audio_encode,
             )
-            feats[split + "_audio"] = (af, av, al)
+            f, v, l = out[:3]
+            feats[split] = average_features(
+                f, v, l, norm_feats=args.norm_feats
+            )
+            if need_audio:
+                af, av, al = average_features(
+                    out[3], v, l, norm_feats=args.norm_feats
+                )
+                feats[split + "_audio"] = (af, av, al)
+        if args.feature_cache:
+            with open(args.feature_cache, "wb") as fh:
+                pickle.dump(feats, fh)
 
     from selavi_tpu.eval.retrieval import select_task_features
 
