@@ -95,6 +95,10 @@ def make_bn_warmup_step(model, compute_dtype=jnp.float32) -> Callable:
         video = augment_video_batch(
             video_u8, rng, flip=True, dtype=compute_dtype
         )
+        # FULL forward including heads: the first SK step (iteration 0)
+        # applies head BNs in eval mode, so their running stats must be
+        # warmed too (the reference warmup forwards the whole model,
+        # utils.py:400-409)
         _, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             video,
@@ -102,7 +106,6 @@ def make_bn_warmup_step(model, compute_dtype=jnp.float32) -> Callable:
             train=True,
             rngs={"dropout": rng},
             mutable=["batch_stats"],
-            return_features=True,
         )
         return updates["batch_stats"]
 
