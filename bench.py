@@ -37,6 +37,8 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--aligned_midplanes", action="store_true",
+                   help="bench the MXU-aligned midplanes variant")
     p.add_argument("--metric", type=str, default="train",
                    choices=["train", "sk"],
                    help="train: clips/s/chip; sk: Sinkhorn iters/s at "
@@ -73,7 +75,8 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
     model = load_model(
-        headcount=args.headcount, num_classes=args.clusters, dtype=dtype
+        headcount=args.headcount, num_classes=args.clusters, dtype=dtype,
+        midplanes_mode="aligned" if args.aligned_midplanes else "parity",
     )
     b = args.batch_size * n_chips
     video = np.random.randint(

@@ -160,6 +160,11 @@ def parse_arguments() -> argparse.ArgumentParser:
                         help="BN running-stat warmup batches before epoch 0")
     parser.add_argument("--prefetch", type=int, default=2,
                         help="host->device prefetch depth")
+    parser.add_argument("--tpu_aligned_midplanes", type="bool",
+                        default="False",
+                        help="round (2+1)D midplane widths to multiples of "
+                             "128 for MXU efficiency (changes param count "
+                             "vs. the reference architecture)")
     parser.add_argument("--trace_profile", type="bool", default="False",
                         help="capture a jax.profiler trace of epoch 0 "
                              "into {dump_path}/profile")

@@ -42,6 +42,7 @@ class AVModel(nn.Module):
     num_classes: int = 256
     dtype: Dtype = jnp.float32
     conv_impl: str = "3d"  # video tower conv expression (see r2plus1d.py)
+    midplanes_mode: str = "parity"  # 'parity' | 'aligned' (MXU-rounded)
 
     def setup(self):
         if self.vid_base_arch != "r2plus1d_18":
@@ -49,7 +50,9 @@ class AVModel(nn.Module):
                 f"unsupported video arch: {self.vid_base_arch!r}"
             )
         self.video_network = R2Plus1D18(
-            dtype=self.dtype, conv_impl=self.conv_impl
+            dtype=self.dtype,
+            conv_impl=self.conv_impl,
+            midplanes_mode=self.midplanes_mode,
         )
         self.audio_network = AudioResNet(
             arch=self.aud_base_arch, dtype=self.dtype
@@ -124,6 +127,7 @@ def load_model(
     num_classes: int = 256,
     dtype: Dtype = jnp.float32,
     conv_impl: str = "3d",
+    midplanes_mode: str = "parity",
     **_unused,
 ) -> AVModel:
     """Factory mirroring the reference ``load_model`` surface
@@ -137,4 +141,5 @@ def load_model(
         num_classes=num_classes,
         dtype=dtype,
         conv_impl=conv_impl,
+        midplanes_mode=midplanes_mode,
     )

@@ -50,6 +50,19 @@ def _midplanes(in_planes: int, out_planes: int) -> int:
     )
 
 
+def _aligned_midplanes(in_planes: int, out_planes: int) -> int:
+    """Midplanes rounded to the nearest multiple of 128 (min 128).
+
+    The MXU is a 128x128 systolic array; the parity widths (144, 230, 288,
+    460, 576, 921) waste up to ~45% of the channel tiles. Measured on v5e:
+    a 64->144 spatial conv costs the same as 64->256 and 1.6x more than
+    64->128. Opt-in (``midplanes_mode='aligned'``) because it changes the
+    parameter count vs. the reference architecture.
+    """
+    mid = _midplanes(in_planes, out_planes)
+    return max(128, int(round(mid / 128)) * 128)
+
+
 class SpatialConv(nn.Module):
     """(1,k,k) 3D conv; impl='2d' reshapes to a 2D conv over B*T frames.
 
@@ -151,10 +164,15 @@ class Conv2Plus1D(nn.Module):
     stride: int = 1
     dtype: Dtype = jnp.float32
     impl: str = "3d"
+    midplanes_mode: str = "parity"  # 'parity' | 'aligned'
 
     @nn.compact
     def __call__(self, x, train: bool):
-        mid = _midplanes(self.in_planes, self.out_planes)
+        mid = (
+            _aligned_midplanes(self.in_planes, self.out_planes)
+            if self.midplanes_mode == "aligned"
+            else _midplanes(self.in_planes, self.out_planes)
+        )
         x = SpatialConv(
             mid, 3, self.stride, 1, dtype=self.dtype, impl=self.impl,
             name="spatial",
@@ -216,6 +234,7 @@ class BasicBlock2Plus1D(nn.Module):
     stride: int = 1
     dtype: Dtype = jnp.float32
     impl: str = "3d"
+    midplanes_mode: str = "parity"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -223,14 +242,15 @@ class BasicBlock2Plus1D(nn.Module):
 
         out = Conv2Plus1D(
             self.in_planes, self.planes, self.stride, dtype=self.dtype,
-            impl=self.impl, name="conv1",
+            impl=self.impl, midplanes_mode=self.midplanes_mode,
+            name="conv1",
         )(x, train)
         out = BN(dtype=self.dtype, name="bn1")(out, train)
         out = nn.relu(out)
 
         out = Conv2Plus1D(
             self.planes, self.planes, 1, dtype=self.dtype, impl=self.impl,
-            name="conv2",
+            midplanes_mode=self.midplanes_mode, name="conv2",
         )(out, train)
         out = BN(dtype=self.dtype, name="bn2")(out, train)
 
@@ -253,6 +273,7 @@ class R2Plus1D18(nn.Module):
 
     dtype: Dtype = jnp.float32
     conv_impl: str = "3d"  # '3d' | '2d' (see module docstring)
+    midplanes_mode: str = "parity"  # 'parity' | 'aligned' (MXU-rounded)
 
     @nn.compact
     def __call__(self, x, train: bool = True, return_map: bool = False):
@@ -271,11 +292,13 @@ class R2Plus1D18(nn.Module):
         for stage, (in_planes, planes, stride) in enumerate(plan, 1):
             x = BasicBlock2Plus1D(
                 in_planes, planes, stride, dtype=self.dtype,
-                impl=self.conv_impl, name=f"layer{stage}_block0",
+                impl=self.conv_impl, midplanes_mode=self.midplanes_mode,
+                name=f"layer{stage}_block0",
             )(x, train)
             x = BasicBlock2Plus1D(
                 planes, planes, 1, dtype=self.dtype,
-                impl=self.conv_impl, name=f"layer{stage}_block1",
+                impl=self.conv_impl, midplanes_mode=self.midplanes_mode,
+                name=f"layer{stage}_block1",
             )(x, train)
 
         if return_map:

@@ -71,6 +71,9 @@ class Trainer:
             norm_feat=False,
             headcount=args.headcount,
             dtype=compute_dtype,
+            midplanes_mode="aligned"
+            if getattr(args, "tpu_aligned_midplanes", False)
+            else "parity",
         )
 
         n_proc = jax.process_count()
