@@ -278,9 +278,11 @@ class R2Plus1D18(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True, return_map: bool = False):
         # R(2+1)D stem: spatial 7x7/2 conv to 45 mid-channels, then temporal
-        # 3x1x1 conv to 64 (torchvision R2Plus1dStem equivalent).
-        x = SpatialConv(45, 7, 2, 3, dtype=self.dtype, impl=self.conv_impl,
-                        name="stem_spatial")(x)
+        # 3x1x1 conv to 64 (torchvision R2Plus1dStem equivalent). The stem
+        # stays at 45 in both midplanes modes: widening it to 64 measured
+        # perf-neutral (185.6 clips/s either way), so keep reference width.
+        x = SpatialConv(45, 7, 2, 3, dtype=self.dtype,
+                        impl=self.conv_impl, name="stem_spatial")(x)
         x = BN(dtype=self.dtype, name="stem_bn1")(x, train)
         x = nn.relu(x)
         x = TemporalConv(64, 3, 1, 1, dtype=self.dtype,

@@ -94,3 +94,19 @@ def test_linear_head_variant():
         train=False,
     )
     assert lv.shape == (2, 2, 10)
+
+
+def test_aligned_midplanes_variant():
+    from selavi_tpu.models.r2plus1d import R2Plus1D18, _aligned_midplanes
+
+    assert _aligned_midplanes(64, 64) == 128
+    assert _aligned_midplanes(64, 128) == 256
+    assert _aligned_midplanes(256, 512) == 896
+    m = R2Plus1D18(midplanes_mode="aligned")
+    x = jnp.zeros((1, 4, 32, 32, 3))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (1, 512)
+    # spatial conv of layer1 block0 uses the aligned width
+    k = v["params"]["layer1_block0"]["conv1"]["spatial"]["conv"]["kernel"]
+    assert k.shape[-1] == 128
