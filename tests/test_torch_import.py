@@ -169,3 +169,14 @@ def test_import_matches_model_structure_and_runs():
     )
     assert out_v.shape == (headcount, 1, k)
     assert np.isfinite(np.asarray(out_v)).all()
+
+
+def test_import_single_head_uses_bare_names():
+    """headcount==1 checkpoints use mlp_v / mlp_a without an index
+    (reference model.py:201-208)."""
+    headcount, k = 1, 7
+    sd = _fake_heads_sd(headcount, k)
+    assert "mlp_v.block_forward.2.weight" in sd
+    params, stats = import_heads(sd, "v", headcount)
+    assert params["heads"]["proj"]["kernel"].shape == (1, 512, k)
+    assert stats["heads"]["bn"]["mean"].shape == (1, 512)
