@@ -35,6 +35,14 @@ def mel2hz(mel):
     return 700.0 * (10.0 ** (np.asarray(mel, np.float64) / 2595.0) - 1.0)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _mel_filterbank_cached(nfilt, nfft, samplerate, lowfreq, highfreq):
+    return _mel_filterbank_impl(nfilt, nfft, samplerate, lowfreq, highfreq)
+
+
 def mel_filterbank(
     nfilt: int,
     nfft: int,
@@ -42,7 +50,18 @@ def mel_filterbank(
     lowfreq: float = 0.0,
     highfreq: Optional[float] = None,
 ) -> np.ndarray:
-    """Triangular mel filterbank, shape [nfilt, nfft//2 + 1]."""
+    """Triangular mel filterbank, shape [nfilt, nfft//2 + 1]. Cached per
+    configuration (recomputing it dominated per-sample spectrogram cost)."""
+    return _mel_filterbank_cached(nfilt, nfft, samplerate, lowfreq, highfreq)
+
+
+def _mel_filterbank_impl(
+    nfilt: int,
+    nfft: int,
+    samplerate: int,
+    lowfreq: float = 0.0,
+    highfreq: Optional[float] = None,
+) -> np.ndarray:
     highfreq = highfreq or samplerate / 2.0
     lowmel, highmel = hz2mel(lowfreq), hz2mel(highfreq)
     melpoints = np.linspace(lowmel, highmel, nfilt + 2)

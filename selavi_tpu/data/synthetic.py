@@ -87,7 +87,10 @@ class SyntheticAVDataset:
                 0.5 + 0.5 * np.sin(2 * np.pi * hue + 4.2),
             ]
         )
-        frames = rng.uniform(0, 0.15, size=(t, c, c, 3))
+        # uint8 noise background directly (float64 uniform draws dominated
+        # per-sample cost at paper-scale shapes)
+        video = rng.integers(0, 39, size=(t, c, c, 3), dtype=np.uint8)
+        color_u8 = (color * 255).astype(np.uint8)
         radius = c // 4
         sq = max(c // 8, 2)
         speed = 1.0 + label
@@ -97,8 +100,7 @@ class SyntheticAVDataset:
             cx = int(c / 2 + radius * np.cos(ang))
             y0, y1 = max(cy - sq, 0), min(cy + sq, c)
             x0, x1 = max(cx - sq, 0), min(cx + sq, c)
-            frames[f, y0:y1, x0:x1, :] = color
-        video = (frames * 255).astype(np.uint8)
+            video[f, y0:y1, x0:x1, :] = color_u8
 
         # --- audio: class-frequency sine + harmonics, int16 scale
         sr = self.aud_sample_rate

@@ -30,11 +30,12 @@ import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("block",))
-def column_cost_matrix(v: jnp.ndarray, a: jnp.ndarray, block: int = 8192):
+def column_cost_matrix(v: jnp.ndarray, a: jnp.ndarray, block: int = 1024):
     """C[i, j] = sum_n |v[n, i] - a[n, j]| for v, a of shape [N, K].
 
     Streamed over N in blocks so the [block, K, K] broadcast intermediate
-    stays well inside HBM for K in the hundreds.
+    stays well inside HBM for K in the hundreds (block 1024 @ K=309 fp32
+    is ~0.4 GB per scan step).
     """
     n, k = v.shape
     nblocks = -(-n // block)
