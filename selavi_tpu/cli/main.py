@@ -30,6 +30,7 @@ def build_dataset(args, mode: str = "train"):
             z_normalize=args.z_normalize,
             seed=args.seed,
             mode=mode,
+            return_pcm=args.device_spectrogram,
         )
     from selavi_tpu.data.dataset import AVideoDataset
 

@@ -165,6 +165,11 @@ def parse_arguments() -> argparse.ArgumentParser:
                         help="round (2+1)D midplane widths to multiples of "
                              "128 for MXU efficiency (changes param count "
                              "vs. the reference architecture)")
+    parser.add_argument("--device_spectrogram", type="bool",
+                        default="False",
+                        help="ship raw PCM to the device and compute "
+                             "log-filterbank spectrograms there (fused "
+                             "gather+FFT+mel kernel) instead of on host")
     parser.add_argument("--trace_profile", type="bool", default="False",
                         help="capture a jax.profiler trace of epoch 0 "
                              "into {dump_path}/profile")

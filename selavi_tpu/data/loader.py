@@ -81,11 +81,17 @@ class DataLoader:
     def _collate(self, examples) -> dict:
         batch = {}
         video = np.stack([e["video"] for e in examples])
-        audio = np.stack([e["audio"] for e in examples])
-        if audio.ndim == 3:  # [B, F, T] -> add channel axis
-            audio = audio[..., None]
         batch["video"] = video
-        batch["audio"] = audio.astype(np.float32)
+        if "audio_pcm" in examples[0]:
+            # raw waveforms: the spectrogram is computed on device
+            batch["audio_pcm"] = np.stack(
+                [e["audio_pcm"] for e in examples]
+            ).astype(np.float32)
+        elif "audio" in examples[0]:
+            audio = np.stack([e["audio"] for e in examples])
+            if audio.ndim == 3:  # [B, F, T] -> add channel axis
+                audio = audio[..., None]
+            batch["audio"] = audio.astype(np.float32)
         batch["label"] = np.asarray(
             [e["label"] for e in examples], np.int32
         )

@@ -37,6 +37,7 @@ class SyntheticAVDataset:
         z_normalize: bool = False,
         seed: int = 0,
         mode: str = "train",
+        return_pcm: bool = False,
     ):
         self.num_samples = num_samples
         self.num_classes = num_classes
@@ -47,6 +48,7 @@ class SyntheticAVDataset:
         self.aud_spec_type = aud_spec_type
         self.z_normalize = z_normalize
         self.mode = mode
+        self.return_pcm = return_pcm
         self.name = "synthetic"
         base = np.random.default_rng(seed)
         self._labels = base.integers(
@@ -115,20 +117,28 @@ class SyntheticAVDataset:
         wav = (wav * 8000).astype(np.float64)
 
         fr_sec = rng.uniform(0, dur - self.num_sec)
-        spec = get_spec(
-            wav,
-            fr_sec,
-            num_sec=self.num_sec,
-            sample_rate=sr,
-            aud_spec_type=self.aud_spec_type,
-            z_normalize=self.z_normalize,
-            rng=rng,
-        )  # [1, nfilt, T]
-
-        return {
+        out = {
             "video": video,  # [T, H, W, 3] uint8
-            "audio": spec[0].astype(np.float32),  # [nfilt, T]
             "label": label,
             "index": idx,
             "vid_idx": idx,
         }
+        if self.return_pcm:
+            # device-spectrogram path: ship the raw clip waveform; the
+            # fused on-device kernel (ops/logmel.py) computes the spec
+            fr = int(np.round(fr_sec * sr))
+            out["audio_pcm"] = wav[fr : fr + self.num_sec * sr].astype(
+                np.float32
+            )
+        else:
+            spec = get_spec(
+                wav,
+                fr_sec,
+                num_sec=self.num_sec,
+                sample_rate=sr,
+                aud_spec_type=self.aud_spec_type,
+                z_normalize=self.z_normalize,
+                rng=rng,
+            )  # [1, nfilt, T]
+            out["audio"] = spec[0].astype(np.float32)  # [nfilt, T]
+        return out

@@ -89,7 +89,9 @@ def aggregate_features(
     ps_v = jnp.zeros((n, feat_dim), jnp.float32)
     ps_a = jnp.zeros((n, feat_dim), jnp.float32)
     for batch in batch_iter:
-        feat_v, feat_a = encode_fn(batch["video"], batch["audio"])
+        feat_v, feat_a = encode_fn(
+            batch["video"], batch.get("audio", batch.get("audio_pcm"))
+        )
         ps_v, ps_a = _scatter_features(
             ps_v, ps_a, feat_v, feat_a, jnp.asarray(batch["index"])
         )

@@ -104,7 +104,22 @@ class Trainer:
         self.np_rng = np.random.default_rng(args.seed)
         example = dataset.get_example(0, np.random.default_rng(0))
         video_shape = (2,) + example["video"].shape
-        audio_shape = (2,) + example["audio"].shape + (1,)
+        if "audio" in example:
+            audio_shape = (2,) + example["audio"].shape + (1,)
+        else:
+            # device-spectrogram path: derive the spec shape from the config
+            from selavi_tpu.data.audio import spec_num_frames
+
+            nfilt = 40 if args.aud_spec_type == 1 else 257
+            audio_shape = (
+                2, nfilt,
+                spec_num_frames(args.num_sec_aud, args.aud_sample_rate), 1,
+            )
+        self.audio_cfg = {
+            "samplerate": args.aud_sample_rate,
+            "nfilt": 40 if args.aud_spec_type == 1 else 257,
+            "z_normalize": args.z_normalize,
+        }
         with self.mesh:
             self.state = create_train_state(
                 self.model, self.tx, rng, video_shape, audio_shape
@@ -117,16 +132,21 @@ class Trainer:
             colorjitter=args.colorjitter,
             grayscale=args.use_grayscale,
             compute_dtype=compute_dtype,
+            audio_cfg=self.audio_cfg,
         )
         self.bn_warmup_step = make_bn_warmup_step(
-            self.model, compute_dtype=compute_dtype
+            self.model, compute_dtype=compute_dtype,
+            audio_cfg=self.audio_cfg,
         )
         # NOTE on conv_impl: the '2d' expression looked 3x faster in a
         # single-conv microbenchmark but is catastrophically slower at SK
         # batch sizes (24 vs 563 clips/s at bs 64 on v5e) — XLA's 2D conv
         # algorithm choice degrades with huge B*T. Both train and eval use
         # '3d'; models/convert.py keeps the expressions interchangeable.
-        self.encode = make_encode_fn(self.model, compute_dtype=compute_dtype)
+        self.encode = make_encode_fn(
+            self.model, compute_dtype=compute_dtype,
+            audio_cfg=self.audio_cfg,
+        )
         self.head_logits = make_head_logits_fn(self.model)
 
         self.sk_cfg = SKConfig(
@@ -178,7 +198,8 @@ class Trainer:
                 break
             rng, sub = jax.random.split(rng)
             bs = self.bn_warmup_step(
-                self.state.params, bs, batch["video"], batch["audio"], sub
+                self.state.params, bs, batch["video"],
+                batch.get("audio", batch.get("audio_pcm")), sub,
             )
         self.state = self.state.replace(batch_stats=bs)
 

@@ -22,6 +22,25 @@ import optax
 from selavi_tpu.ops.preprocess import augment_video_batch
 
 
+def prepare_audio(audio, compute_dtype, audio_cfg=None):
+    """Spec [B,F,T,1] passes through; raw PCM [B,S] is turned into
+    spectrograms on device (fused gather+FFT+mel kernel, ops/logmel.py) —
+    the TPU-native audio frontend (host ships 1s of PCM instead of a
+    computed spectrogram)."""
+    if audio.ndim == 2:  # [B, S] raw PCM
+        from selavi_tpu.ops.logmel import logfbank_batch
+
+        cfg = audio_cfg or {}
+        spec = logfbank_batch(
+            audio,
+            samplerate=cfg.get("samplerate", 48000),
+            nfilt=cfg.get("nfilt", 257),
+            z_normalize=cfg.get("z_normalize", False),
+        )
+        return spec[..., None].astype(compute_dtype)
+    return audio.astype(compute_dtype)
+
+
 def multihead_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Mean over heads of CE(logits[h], labels[:, h]).
 
@@ -43,6 +62,7 @@ def make_train_step(
     grayscale: bool = False,
     compute_dtype=jnp.float32,
     donate: bool = True,
+    audio_cfg: Optional[dict] = None,
 ) -> Callable:
     """Returns jitted ``step(state, batch, labels, rng) -> (state, metrics)``.
 
@@ -60,7 +80,11 @@ def make_train_step(
             flip=True,
             dtype=compute_dtype,
         )
-        audio = batch["audio"].astype(compute_dtype)
+        audio = prepare_audio(
+            batch.get("audio", batch.get("audio_pcm")),
+            compute_dtype,
+            audio_cfg,
+        )
 
         def loss_fn(params):
             (logits_v, logits_a), updates = model.apply(
@@ -86,7 +110,9 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_bn_warmup_step(model, compute_dtype=jnp.float32) -> Callable:
+def make_bn_warmup_step(
+    model, compute_dtype=jnp.float32, audio_cfg: Optional[dict] = None
+) -> Callable:
     """Forward-only pass updating BN running stats
     (reference ``warmup_batchnorm``, /root/reference/utils.py:389-418)."""
 
@@ -102,7 +128,7 @@ def make_bn_warmup_step(model, compute_dtype=jnp.float32) -> Callable:
         _, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             video,
-            audio.astype(compute_dtype),
+            prepare_audio(audio, compute_dtype, audio_cfg),
             train=True,
             rngs={"dropout": rng},
             mutable=["batch_stats"],
@@ -112,7 +138,9 @@ def make_bn_warmup_step(model, compute_dtype=jnp.float32) -> Callable:
     return warmup
 
 
-def make_encode_fn(model, compute_dtype=jnp.float32) -> Callable:
+def make_encode_fn(
+    model, compute_dtype=jnp.float32, audio_cfg: Optional[dict] = None
+) -> Callable:
     """Eval-mode GAP features for the SK aggregation pass
     (reference sk_utils.py:196-211; eval mode = running BN stats)."""
 
@@ -124,7 +152,7 @@ def make_encode_fn(model, compute_dtype=jnp.float32) -> Callable:
         feat_v, feat_a = model.apply(
             {"params": params, "batch_stats": batch_stats},
             video,
-            audio.astype(compute_dtype),
+            prepare_audio(audio, compute_dtype, audio_cfg),
             train=False,
             return_features=True,
         )
