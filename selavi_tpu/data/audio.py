@@ -175,6 +175,34 @@ def get_spec(
     return spec
 
 
+def slice_clip_pcm(
+    wav: np.ndarray,
+    fr_sec: float,
+    num_sec: int = 1,
+    sample_rate: int = 48000,
+    use_volume_jittering: bool = False,
+    use_temporal_jittering: bool = False,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Host half of the device-spectrogram path: the clip slicing and
+    waveform jitters of ``get_spec`` (same clamping semantics), returning
+    the raw [num_sec * sample_rate] float32 waveform for the fused
+    on-device log-filterbank kernel."""
+    if rng is None:
+        rng = np.random.default_rng()
+    if use_temporal_jittering:
+        fr_sec = fr_sec + rng.uniform(-0.5, 0.5)
+    fr_aud = int(np.round(fr_sec * sample_rate))
+    to_aud = int(np.round(fr_sec * sample_rate) + sample_rate * num_sec)
+    if fr_aud + (to_aud - fr_aud) > len(wav):
+        fr_aud = len(wav) - sample_rate * num_sec
+        to_aud = len(wav)
+    clip = np.asarray(wav[fr_aud:to_aud], np.float32)
+    if use_volume_jittering:
+        clip = clip * np.float32(rng.uniform(0.9, 1.1))
+    return clip
+
+
 def spec_num_frames(num_sec: int, sample_rate: int) -> int:
     """Spectrogram time dimension for a clip of ``num_sec`` seconds."""
     frame_len = _round_half_up(0.02 * sample_rate)

@@ -147,6 +147,7 @@ class AVideoDataset:
         z_normalize: bool = False,
         annotation_path: Optional[str] = None,
         seed: int = 0,
+        return_pcm: bool = False,
         **_unused,
     ):
         assert mode in ("train", "val", "test"), mode
@@ -175,6 +176,7 @@ class AVideoDataset:
         self.use_volume_jittering = use_volume_jittering
         self.use_temporal_jittering = use_temporal_jittering
         self.z_normalize = z_normalize
+        self.return_pcm = return_pcm
         self.fold = fold
         self.annotation_path = annotation_path
         self.seed = seed
@@ -342,7 +344,11 @@ class AVideoDataset:
             "vid_idx": self._vid_indices[index],
         }
         if self.decode_audio and specs:
-            if num_clips == 1:
+            if self.return_pcm:
+                out["audio_pcm"] = np.concatenate(
+                    [np.atleast_1d(s) for s in specs]
+                ).astype(np.float32)
+            elif num_clips == 1:
                 out["audio"] = specs[0][0]  # [F, T]
             else:
                 # dual_data: the reference concatenates the two [1,F,T]
@@ -370,15 +376,30 @@ class AVideoDataset:
             wav = dec.decode_audio_ffmpeg(path, self.aud_sample_rate)
             if wav is None:
                 raise RuntimeError(f"failed to decode audio of {path}")
-            spec = get_spec(
-                wav,
-                start_sec,
-                num_sec=self.num_sec,
-                sample_rate=self.aud_sample_rate,
-                aud_spec_type=self.aud_spec_type,
-                use_volume_jittering=self.use_volume_jittering,
-                use_temporal_jittering=self.use_temporal_jittering,
-                z_normalize=self.z_normalize,
-                rng=rng,
-            )
+            if self.return_pcm:
+                # device-spectrogram path: host only slices + jitters the
+                # waveform; the fused on-device kernel computes the spec
+                from selavi_tpu.data.audio import slice_clip_pcm
+
+                spec = slice_clip_pcm(
+                    wav,
+                    start_sec,
+                    num_sec=self.num_sec,
+                    sample_rate=self.aud_sample_rate,
+                    use_volume_jittering=self.use_volume_jittering,
+                    use_temporal_jittering=self.use_temporal_jittering,
+                    rng=rng,
+                )
+            else:
+                spec = get_spec(
+                    wav,
+                    start_sec,
+                    num_sec=self.num_sec,
+                    sample_rate=self.aud_sample_rate,
+                    aud_spec_type=self.aud_spec_type,
+                    use_volume_jittering=self.use_volume_jittering,
+                    use_temporal_jittering=self.use_temporal_jittering,
+                    z_normalize=self.z_normalize,
+                    rng=rng,
+                )
         return frames, spec

@@ -65,3 +65,26 @@ def test_trainer_runs_with_device_spectrogram(tmp_path):
     losses = [h["loss"] for h in history if "loss" in h]
     assert losses and np.isfinite(losses).all()
     assert trainer.sl_state.sk_counter >= 1
+
+
+def test_slice_clip_pcm_matches_get_spec_window():
+    """slice_clip_pcm + device spectrogram == get_spec for the same clip."""
+    from selavi_tpu.data.audio import get_spec, slice_clip_pcm
+
+    rng = np.random.default_rng(3)
+    wav = (rng.standard_normal(3 * 16000) * 8000).astype(np.float64)
+    fr_sec = 1.25
+    clip = slice_clip_pcm(wav, fr_sec, num_sec=1, sample_rate=16000)
+    assert clip.shape == (16000,)
+    spec_host = get_spec(wav, fr_sec, num_sec=1, sample_rate=16000,
+                         aud_spec_type=1)
+    spec_dev = np.asarray(
+        prepare_audio(
+            jnp.asarray(clip[None]), jnp.float32,
+            {"samplerate": 16000, "nfilt": 40},
+        )
+    )[0, :, :, 0]
+    np.testing.assert_allclose(spec_dev, spec_host[0], rtol=3e-3, atol=3e-3)
+    # end-of-file clamping matches get_spec
+    clip_end = slice_clip_pcm(wav, 10.0, num_sec=1, sample_rate=16000)
+    np.testing.assert_allclose(clip_end, wav[-16000:].astype(np.float32))
