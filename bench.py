@@ -39,6 +39,8 @@ def main():
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--aligned_midplanes", action="store_true",
                    help="bench the MXU-aligned midplanes variant")
+    p.add_argument("--device_spec", action="store_true",
+                   help="feed raw PCM and compute spectrograms on device")
     p.add_argument("--metric", type=str, default="train",
                    choices=["train", "sk"],
                    help="train: clips/s/chip; sk: Sinkhorn iters/s at "
@@ -82,7 +84,10 @@ def main():
     video = np.random.randint(
         0, 255, (b, args.num_frames, args.crop, args.crop, 3), np.uint8
     )
-    audio = np.random.randn(b, 257, 99, 1).astype(np.float32)
+    if args.device_spec:
+        audio = (np.random.randn(b, 24000) * 8000).astype(np.float32)
+    else:
+        audio = np.random.randn(b, 257, 99, 1).astype(np.float32)
     labels = np.random.randint(
         0, args.clusters, (b, args.headcount)
     ).astype(np.int32)
@@ -90,8 +95,11 @@ def main():
     tx = make_optimizer(0.01, 1e-5, multiplier=float(n_chips),
                         warmup_epochs=10, batches_per_epoch=100)
     rng = jax.random.PRNGKey(0)
+    # model init always sees the spectrogram shape (PCM is converted
+    # inside the step)
+    init_audio_shape = (2, 257, 99, 1)
     state = create_train_state(
-        model, tx, rng, (2,) + video.shape[1:], (2,) + audio.shape[1:]
+        model, tx, rng, (2,) + video.shape[1:], init_audio_shape
     )
     state = jax.device_put(state, rep)
     batch = {
@@ -99,7 +107,11 @@ def main():
         "audio": jax.device_put(jnp.asarray(audio), dsh),
     }
     labels_d = jax.device_put(jnp.asarray(labels), dsh)
-    step = make_train_step(model, compute_dtype=dtype)
+    step = make_train_step(
+        model, compute_dtype=dtype,
+        audio_cfg={"samplerate": 24000, "nfilt": 257} if args.device_spec
+        else None,
+    )
 
     with mesh:
         for _ in range(args.warmup):
