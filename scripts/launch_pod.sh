@@ -48,5 +48,6 @@ python main.py \
   --z_normalize false \
   --workers 10 \
   --compute_dtype bfloat16 \
+  --tpu_aligned_midplanes true \
   --checkpoint_freq 5 \
   --seed 31
