@@ -12,10 +12,58 @@ from __future__ import annotations
 
 import collections
 import concurrent.futures as cf
+import contextlib
+import multiprocessing
+import os
 from typing import Iterator, Optional
 
 import jax
 import numpy as np
+
+_WORKER_DATASET = None
+
+
+def _process_worker_init(dataset):
+    # runs in the spawned child: hold the dataset once instead of pickling
+    # it per task
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _process_fetch(idx: int, seed_tuple):
+    rng = np.random.default_rng(seed_tuple)
+    return _WORKER_DATASET.get_example(int(idx), rng)
+
+
+@contextlib.contextmanager
+def _no_accelerator_env():
+    """Spawned loader workers must never initialize an accelerator client
+    (on single-chip deployments a worker claiming the device deadlocks the
+    trainer). Strips the env triggers around child creation."""
+    saved = {
+        k: os.environ.get(k)
+        for k in ("PALLAS_AXON_POOL_IPS", "PYTHONPATH", "JAX_PLATFORMS")
+    }
+    try:
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        pythonpath = [
+            p for p in (saved["PYTHONPATH"] or "").split(os.pathsep)
+            if p and "axon" not in p
+        ]
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        if repo_root not in pythonpath:
+            pythonpath.append(repo_root)
+        os.environ["PYTHONPATH"] = os.pathsep.join(pythonpath)
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 
 class DataLoader:
@@ -37,10 +85,16 @@ class DataLoader:
         seed: int = 0,
         rank: int = 0,
         world_size: int = 1,
+        worker_mode: str = "thread",  # 'thread' | 'process'
     ):
         """``batch_size`` is the per-process batch; with ``world_size`` > 1
         each process iterates a strided subset of the epoch permutation
-        (the reference's DistributedSampler strategy)."""
+        (the reference's DistributedSampler strategy).
+
+        ``worker_mode='process'`` uses spawned worker processes (the torch
+        DataLoader analog) — sidesteps the GIL for Python-heavy decode at
+        the cost of pickling examples back; the dataset must be picklable.
+        """
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -49,7 +103,26 @@ class DataLoader:
         self.seed = seed
         self.rank = rank
         self.world_size = world_size
+        self.worker_mode = worker_mode
         self.epoch = 0
+        self._pool = None
+
+    def _get_pool(self):
+        if self._pool is None:
+            with _no_accelerator_env():
+                ctx = multiprocessing.get_context("spawn")
+                self._pool = cf.ProcessPoolExecutor(
+                    self.num_workers,
+                    mp_context=ctx,
+                    initializer=_process_worker_init,
+                    initargs=(self.dataset,),
+                )
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -119,6 +192,31 @@ class DataLoader:
                 yield self._collate(
                     [fetch(i, s + j) for j, i in enumerate(idxs)]
                 )
+        elif self.worker_mode == "process":
+            pool = self._get_pool()
+            starts = list(starts)
+            depth = max(2, self.num_workers // 2)
+            pending = collections.deque()
+
+            def submit(s):
+                idxs = order[s : s + bs]
+                return [
+                    pool.submit(
+                        _process_fetch, int(i),
+                        (self.seed, self.epoch, int(i)),
+                    )
+                    for i in idxs
+                ]
+
+            for s in starts[:depth]:
+                pending.append(submit(s))
+            consumed = 0
+            while pending:
+                futs = pending.popleft()
+                consumed += 1
+                if consumed + len(pending) <= len(starts) - 1:
+                    pending.append(submit(starts[consumed + len(pending)]))
+                yield self._collate([f.result() for f in futs])
         else:
             with cf.ThreadPoolExecutor(self.num_workers) as pool:
                 pending = collections.deque()

@@ -136,3 +136,18 @@ def test_spatial_sampling_flipped_test_crops():
         flipped = spatial_sampling(frames, spatial_idx=idx + 3,
                                    min_scale=32, crop_size=32)
         np.testing.assert_array_equal(plain[:, :, ::-1, :], flipped)
+
+
+def test_loader_process_workers_match_serial():
+    ds = SyntheticAVDataset(num_samples=8, num_frames=2, crop_size=16,
+                            aud_sample_rate=16000)
+    serial = DataLoader(ds, batch_size=4, shuffle=False, num_workers=0)
+    proc = DataLoader(ds, batch_size=4, shuffle=False, num_workers=2,
+                      worker_mode="process")
+    try:
+        for bs, bp in zip(serial, proc):
+            np.testing.assert_array_equal(bs["video"], bp["video"])
+            np.testing.assert_allclose(bs["audio"], bp["audio"], rtol=1e-6)
+            np.testing.assert_array_equal(bs["index"], bp["index"])
+    finally:
+        proc.close()
