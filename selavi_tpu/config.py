@@ -165,6 +165,10 @@ def parse_arguments() -> argparse.ArgumentParser:
                         help="round (2+1)D midplane widths to multiples of "
                              "128 for MXU efficiency (changes param count "
                              "vs. the reference architecture)")
+    parser.add_argument("--worker_mode", type=str, default="thread",
+                        choices=["thread", "process"],
+                        help="loader worker type: threads (default) or "
+                             "spawned processes (GIL-free decode)")
     parser.add_argument("--device_spectrogram", type="bool",
                         default="False",
                         help="ship raw PCM to the device and compute "

@@ -94,6 +94,9 @@ class DataLoader:
         ``worker_mode='process'`` uses spawned worker processes (the torch
         DataLoader analog) — sidesteps the GIL for Python-heavy decode at
         the cost of pickling examples back; the dataset must be picklable.
+        Measured on synthetic paper-shape samples: threads 83 samples/s vs
+        processes 55 (pickling dominates), so threads stay the default;
+        process mode is for GIL-bound pure-Python decode paths.
         """
         self.dataset = dataset
         self.batch_size = batch_size

@@ -87,6 +87,7 @@ class Trainer:
             seed=args.seed,
             rank=jax.process_index(),
             world_size=n_proc,
+            worker_mode=getattr(args, "worker_mode", "thread"),
         )
         self.batches_per_epoch = len(self.loader)
         n = len(dataset)
