@@ -134,6 +134,26 @@ def logfbank(
     return np.log(feat)
 
 
+def _logfbank_fast(wav: np.ndarray, sample_rate: int, nfilt: int):
+    """logfbank via the C++ data runtime when built (single-sample call,
+    ~2-3x faster than the numpy path), numpy otherwise. Parity between the
+    two is covered by tests/test_native.py."""
+    try:
+        from selavi_tpu import native
+
+        if native.available():
+            out = native.logfbank_batch_native(
+                wav[None].astype(np.float32), sample_rate, nfilt=nfilt,
+                nthreads=1,
+            )
+            return out[0].T  # [T, nfilt] like logfbank()
+    except Exception:
+        pass
+    return logfbank(
+        wav, sample_rate, winlen=0.02, winstep=0.01, nfilt=nfilt, nfft=1024
+    )
+
+
 def get_spec(
     wav: np.ndarray,
     fr_sec: float,
@@ -166,9 +186,7 @@ def get_spec(
         wav = wav * rng.uniform(0.9, 1.1)
 
     nfilt = 40 if aud_spec_type == 1 else 257
-    spec = logfbank(
-        wav, sample_rate, winlen=0.02, winstep=0.01, nfilt=nfilt, nfft=1024
-    )
+    spec = _logfbank_fast(np.asarray(wav, np.float64), sample_rate, nfilt)
     spec = spec.astype(np.float32).T[None, :, :]  # [1, nfilt, T]
     if z_normalize:
         spec = (spec - 1.93) / 17.89
