@@ -62,6 +62,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        lib.selavi_greedy_swap_match.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
         return _lib
 
@@ -144,5 +149,28 @@ def resize_bilinear_u8(
         t, h, w, c,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         new_h, new_w, nthreads,
+    )
+    return out
+
+
+def greedy_swap_match_native(
+    cost: np.ndarray,
+    steps: int = 50000,
+    restarts: int = 2,
+    patience: int = 1000,
+    seed: int = 1,
+) -> Optional[np.ndarray]:
+    """C++ greedy swap search over the K x K cost matrix; returns None when
+    the native library is unavailable (callers fall back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    cost = np.ascontiguousarray(cost, np.float64)
+    k = cost.shape[0]
+    out = np.empty(k, np.int32)
+    lib.selavi_greedy_swap_match(
+        cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        k, steps, restarts, patience, ctypes.c_uint64(seed),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out

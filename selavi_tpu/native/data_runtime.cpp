@@ -163,3 +163,60 @@ void selavi_resize_bilinear_u8(const uint8_t* in, int t, int h, int w, int c,
 }
 
 }  // extern "C"
+
+// ------------------------------------------------------------------ match
+// Greedy random-swap permutation search over a precomputed K x K column
+// cost matrix (the host half of modality alignment,
+// selavi_tpu/selflabel/matching.py). Same algorithm as the Python
+// implementation: propose random (i, j), accept if it lowers
+// sum_k C[k, perm[k]], stop after `patience` non-improving proposals,
+// keep the best of `restarts` restarts. xorshift RNG (seeded) — the
+// proposal sequence differs from numpy's, but the search target and
+// acceptance rule are identical.
+extern "C" {
+
+void selavi_greedy_swap_match(const double* cost, int k, int steps,
+                              int restarts, int patience, uint64_t seed,
+                              int32_t* out_perm) {
+  std::vector<int32_t> best(k);
+  for (int i = 0; i < k; ++i) best[i] = i;
+  double best_cost = 0;
+  for (int i = 0; i < k; ++i) best_cost += cost[(size_t)i * k + i];
+
+  uint64_t s = seed ? seed : 0x9E3779B97F4A7C15ull;
+  auto next = [&s]() {
+    s ^= s << 13; s ^= s >> 7; s ^= s << 17; return s;
+  };
+
+  std::vector<int32_t> perm(k);
+  std::vector<double> cur(k);
+  for (int r = 0; r < restarts; ++r) {
+    for (int i = 0; i < k; ++i) perm[i] = i;
+    for (int i = 0; i < k; ++i) cur[i] = cost[(size_t)i * k + i];
+    int last_improve = 0;
+    for (int it = 0; it < steps; ++it) {
+      int i = (int)(next() % (uint64_t)k);
+      int j = (int)(next() % (uint64_t)k);
+      if (i == j) continue;
+      double current = cur[i] + cur[j];
+      double future = cost[(size_t)i * k + perm[j]] +
+                      cost[(size_t)j * k + perm[i]];
+      if (current - future > 0) {
+        std::swap(perm[i], perm[j]);
+        cur[i] = cost[(size_t)i * k + perm[i]];
+        cur[j] = cost[(size_t)j * k + perm[j]];
+        last_improve = it;
+      }
+      if (it - last_improve > patience) break;
+    }
+    double total = 0;
+    for (int i = 0; i < k; ++i) total += cur[i];
+    if (total < best_cost) {
+      best_cost = total;
+      best = std::vector<int32_t>(perm.begin(), perm.end());
+    }
+  }
+  std::copy(best.begin(), best.end(), out_perm);
+}
+
+}  // extern "C"

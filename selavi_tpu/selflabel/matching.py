@@ -102,13 +102,29 @@ def match_order(
     steps: int = 50000,
     restarts: int = 2,
     rng: np.random.Generator | None = None,
+    use_native: bool = True,
 ) -> np.ndarray:
     """Full pipeline: softmax both modalities, build C on device, search on
     host. Returns the permutation to apply to the audio head's output rows
-    (kernel columns / bias entries in flax layout)."""
+    (kernel columns / bias entries in flax layout).
+
+    The sequential swap loop runs in the C++ data runtime when built
+    (~100x faster than the Python loop at K=309); the Python implementation
+    is the reference semantics and the fallback."""
     pv = jax.nn.softmax(logits_v.astype(jnp.float32), axis=1)
     pa = jax.nn.softmax(logits_a.astype(jnp.float32), axis=1)
     cost = np.asarray(column_cost_matrix(pv, pa))
+    if use_native:
+        from selavi_tpu import native
+
+        if rng is None:
+            rng = np.random.default_rng(0)
+        perm = native.greedy_swap_match_native(
+            cost, steps=steps, restarts=restarts,
+            seed=int(rng.integers(1, 2 ** 62)),
+        )
+        if perm is not None:
+            return perm
     return greedy_swap_match(cost, steps=steps, restarts=restarts, rng=rng)
 
 

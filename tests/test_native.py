@@ -54,3 +54,24 @@ def test_native_resize_identity():
     frames = rng.integers(0, 255, (2, 16, 16, 3), np.uint8)
     out = native.resize_bilinear_u8(frames, 16, 16)
     np.testing.assert_array_equal(out, frames)
+
+
+def test_native_swap_match_recovers_planted_permutation(lib_available):
+    rng = np.random.default_rng(5)
+    k, n = 15, 400
+    v = rng.random((n, k))
+    true_perm = rng.permutation(k)
+    a = v[:, true_perm] + rng.normal(0, 0.005, (n, k))
+    cost = np.abs(v[:, :, None] - a[:, None, :]).sum(0)
+    perm = native.greedy_swap_match_native(cost, steps=30000, seed=7)
+    assert perm is not None
+    total = sum(cost[i, perm[i]] for i in range(k))
+    ideal = sum(cost[i, np.argsort(true_perm)[i]] for i in range(k))
+    assert total <= ideal * 1.05
+    # result quality matches the Python search
+    from selavi_tpu.selflabel.matching import greedy_swap_match
+
+    perm_py = greedy_swap_match(cost, steps=30000,
+                                rng=np.random.default_rng(0))
+    total_py = sum(cost[i, perm_py[i]] for i in range(k))
+    assert total <= total_py * 1.05
