@@ -170,10 +170,12 @@ def _bench_sk(args):
     )
     log_r = jnp.full((k,), -jnp.log(jnp.float32(k)))
     use_pallas = jax.default_backend() == "tpu"
-    res = sinkhorn_knopp(log_ps, log_r, use_pallas=use_pallas)
+    res = sinkhorn_knopp(log_ps, log_r, use_pallas=use_pallas,
+                         m_bf16=use_pallas)
     int(res.iters)
     t0 = time.perf_counter()
-    res = sinkhorn_knopp(log_ps, log_r, use_pallas=use_pallas)
+    res = sinkhorn_knopp(log_ps, log_r, use_pallas=use_pallas,
+                         m_bf16=use_pallas)
     iters = int(res.iters)
     dt = time.perf_counter() - t0
     value = iters / dt

@@ -58,6 +58,10 @@ class SKConfig:
     sk_max_iters: int = 2000
     # 'auto': fused Pallas iteration on TPU, XLA elsewhere
     sk_backend: str = "auto"  # 'auto' | 'xla' | 'pallas'
+    # bf16 storage of the scaled log-prob matrix in the Pallas path:
+    # 1030 vs 639 iters/s at VGG-Sound scale; labels agree >97% on random
+    # instances and exactly on sharp ones. Set False for fp32 bit-parity.
+    sk_m_bf16: bool = True
     feat_dim: int = 512  # encoder GAP feature width
 
 
@@ -203,6 +207,7 @@ def cluster(
                 tol=cfg.sk_tol,
                 max_iters=cfg.sk_max_iters,
                 use_pallas=use_pallas,
+                m_bf16=cfg.sk_m_bf16 and use_pallas,
             )
             new_labels[:, head] = np.asarray(res.labels)
             costs.append(float(res.cost))

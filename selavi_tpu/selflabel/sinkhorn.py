@@ -47,7 +47,9 @@ def _logsumexp(a, axis):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iters", "check_every", "use_pallas", "interpret"),
+    static_argnames=(
+        "max_iters", "check_every", "use_pallas", "interpret", "m_bf16"
+    ),
 )
 def sinkhorn_knopp(
     log_ps: jnp.ndarray,
@@ -58,6 +60,7 @@ def sinkhorn_knopp(
     check_every: int = 10,
     use_pallas: bool = False,
     interpret: bool = False,
+    m_bf16: bool = False,
 ) -> SinkhornResult:
     """Run SK scaling iterations in the log domain.
 
@@ -74,6 +77,13 @@ def sinkhorn_knopp(
     """
     n, _ = log_ps.shape
     m = (0.5 * lamb) * log_ps.astype(jnp.float32)
+    if m_bf16 and use_pallas:
+        # bf16 storage of M halves the solver's HBM traffic (its actual
+        # bound); the Pallas kernel upcasts each tile to fp32. bf16 carries
+        # ~3 significant decimal digits — labels stay identical on sharp
+        # (converged-training) instances; stay fp32 when bit-level
+        # reference parity matters.
+        m = m.astype(jnp.bfloat16)
     log_c = -jnp.log(jnp.float32(n))  # rows uniform: c = 1/N
     log_r = log_r.astype(jnp.float32)
 

@@ -65,3 +65,14 @@ def test_full_solver_pallas_matches_xla_labels():
     ).mean()
     assert agree > 0.99, agree
     assert float(res_pal.err) <= 0.1 or int(res_pal.iters) == 2000
+
+
+def test_bf16_m_storage_matches_fp32_labels():
+    n, k = 300, 10
+    log_ps, log_r = _setup(n, k, seed=2)
+    res32 = sinkhorn_knopp(log_ps, log_r, lamb=20.0, use_pallas=True,
+                           interpret=True)
+    res16 = sinkhorn_knopp(log_ps, log_r, lamb=20.0, use_pallas=True,
+                           interpret=True, m_bf16=True)
+    agree = (np.asarray(res32.labels) == np.asarray(res16.labels)).mean()
+    assert agree > 0.97, agree
