@@ -16,6 +16,16 @@ from selavi_tpu.utils.experiment import fix_random_seeds, initialize_exp
 
 
 def build_dataset(args, mode: str = "train"):
+    if args.ds_name == "packed":
+        from selavi_tpu.data.packed import PackedAVDataset
+
+        return PackedAVDataset(
+            args.root_dir,
+            crop_size=args.train_crop_size,
+            mode=mode,
+            num_sec=args.num_sec_aud,
+            sample_rate=args.aud_sample_rate,
+        )
     if args.ds_name == "synthetic":
         from selavi_tpu.data.synthetic import SyntheticAVDataset
 

@@ -28,8 +28,10 @@ def parse_arguments() -> argparse.ArgumentParser:
     # #### data parameters ####
     parser.add_argument("--ds_name", type=str, default="kinetics",
                         choices=["kinetics", "vggsound", "kinetics_sound",
-                                 "ave", "ucf101", "hmdb51", "synthetic"],
-                        help="name of dataset")
+                                 "ave", "ucf101", "hmdb51", "synthetic",
+                                 "packed"],
+                        help="name of dataset ('packed': --root_dir points "
+                             "at a shard written by scripts/pack_dataset.py)")
     parser.add_argument("--root_dir", type=str, default="/path/to/dataset",
                         help="root dir of dataset")
     parser.add_argument("--data_path", type=str, default="datasets/data",

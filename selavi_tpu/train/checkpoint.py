@@ -56,6 +56,7 @@ def save_checkpoint(
         "dist": sl_state.marginals.to_dict(),
         "sk_counter": sl_state.sk_counter,
     }
+    os.makedirs(dump_path, exist_ok=True)
     path = os.path.join(dump_path, CKPT_NAME)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
