@@ -25,14 +25,15 @@ def dump_cluster_matrices(
     batch_iter: Iterator[dict],
     n: int,
     out_path: str,
+    feat_dim: int = 512,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (PS_v [H,N,K], labels [N], PS_a [H,N,K]) and writes the
     reference-schema pickle (list of per-head matrices)."""
     from selavi_tpu.selflabel.engine import _scatter_features
 
     labels = np.zeros(n, np.int64)
-    feats_v = jnp.zeros((n, 512), jnp.float32)
-    feats_a = jnp.zeros((n, 512), jnp.float32)
+    feats_v = jnp.zeros((n, feat_dim), jnp.float32)
+    feats_a = jnp.zeros((n, feat_dim), jnp.float32)
     for batch in batch_iter:
         fv, fa = encode_fn(batch["video"], batch["audio"])
         feats_v, feats_a = _scatter_features(
