@@ -71,6 +71,8 @@ def parse_args(argv=None):
     parser.add_argument("--start_epoch", default=0, type=int)
     parser.add_argument("--test_only", type="bool", default="False")
     parser.add_argument("--compute_dtype", default="bfloat16", type=str)
+    parser.add_argument("--tpu_aligned_midplanes", type="bool",
+                        default="False")
     return parser.parse_args(argv)
 
 

@@ -45,6 +45,10 @@ def parse_args(argv=None):
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--workers", type=int, default=8)
     parser.add_argument("--num_data_samples", type=int, default=None)
+    parser.add_argument("--tpu_aligned_midplanes", type="bool",
+                        default="False",
+                        help="set to true for checkpoints trained with "
+                             "MXU-aligned midplane widths")
     return parser.parse_args(argv)
 
 
@@ -81,8 +85,10 @@ def main(argv=None):
             temp_jitter=False,
         )
 
-    model = load_model(headcount=args.headcount, num_classes=k,
-                       use_mlp=args.use_mlp)
+    model = load_model(
+        headcount=args.headcount, num_classes=k, use_mlp=args.use_mlp,
+        midplanes_mode="aligned" if args.tpu_aligned_midplanes else "parity",
+    )
     example = dataset.get_example(0, np.random.default_rng(0))
     tx = make_optimizer(0.01, 0.0)
     state = create_train_state(

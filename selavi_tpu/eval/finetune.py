@@ -51,10 +51,13 @@ class FinetuneModel(nn.Module):
     use_l2_norm: bool = False
     dropout: float = 0.7
     dtype: any = jnp.float32
+    midplanes_mode: str = "parity"
 
     @nn.compact
     def __call__(self, video, train: bool = True):
-        x = R2Plus1D18(dtype=self.dtype, name="base")(video, train=train)
+        x = R2Plus1D18(dtype=self.dtype,
+                       midplanes_mode=self.midplanes_mode,
+                       name="base")(video, train=train)
         if self.use_l2_norm:
             x = x / jnp.maximum(
                 jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12

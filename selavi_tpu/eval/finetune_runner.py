@@ -113,6 +113,8 @@ def run_fold(
         use_dropout=cfg.use_dropout,
         use_bn=cfg.use_bn,
         use_l2_norm=cfg.use_l2_norm,
+        midplanes_mode="aligned"
+        if getattr(args, "tpu_aligned_midplanes", False) else "parity",
         dtype=jnp.bfloat16
         if getattr(args, "compute_dtype", "float32") == "bfloat16"
         else jnp.float32,

@@ -48,6 +48,8 @@ def parse_args(argv=None):
     parser.add_argument("--feature_cache", default=None, type=str,
                         help="optional pickle cache path for features")
     parser.add_argument("--num_data_samples", default=None, type=int)
+    parser.add_argument("--tpu_aligned_midplanes", type="bool",
+                        default="False")
     return parser.parse_args(argv)
 
 
@@ -88,8 +90,10 @@ def main(argv=None):
     args = parse_args(argv)
     train_ds, test_ds = build_datasets(args)
 
-    model = load_model(headcount=args.headcount,
-                       num_classes=args.num_clusters)
+    model = load_model(
+        headcount=args.headcount, num_classes=args.num_clusters,
+        midplanes_mode="aligned" if args.tpu_aligned_midplanes else "parity",
+    )
     example = train_ds.get_example(0, np.random.default_rng(0))
     spec_shape = example.get("audio", np.zeros((40, 99), np.float32)).shape
     state = create_train_state(
