@@ -7,8 +7,9 @@ they involve data-dependent shapes; the elementwise augmentations (flip,
 color jitter, grayscale, normalize) run fused on device
 (selavi_tpu.ops.preprocess).
 
-Frames are numpy uint8 ``[T, H, W, C]`` throughout; bilinear resize uses
-PIL per frame (decode-time cost, amortized across loader workers).
+Frames are numpy uint8 ``[T, H, W, C]`` throughout; bilinear resize runs
+in the threaded C++ data runtime when built (selavi_tpu/native), PIL per
+frame otherwise.
 """
 
 from __future__ import annotations
