@@ -81,3 +81,34 @@ def test_best_head_labels_picks_informative_head():
     from sklearn.metrics.cluster import normalized_mutual_info_score
 
     assert normalized_mutual_info_score(labels, truth) > 0.99
+
+
+def test_checkpoint_archive_copies(tmp_path):
+    """Periodic ckp-{epoch} archives (reference main.py:238-242)."""
+    import os
+
+    import jax.numpy as jnp
+    import optax
+
+    from selavi_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from selavi_tpu.train.state import SelfLabelState, TrainState
+
+    tx = optax.sgd(0.1)
+    params = {"w": jnp.ones((3,))}
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, batch_stats={},
+        opt_state=tx.init(params), tx=tx,
+    )
+    sl = SelfLabelState.init(4, 1)
+    dump = str(tmp_path)
+    arch = str(tmp_path / "checkpoints")
+    os.makedirs(arch, exist_ok=True)
+    for epoch in range(4):
+        save_checkpoint(dump, state, sl, epoch, checkpoint_freq=2,
+                        total_epochs=4, dump_checkpoints=arch)
+    # archives at epochs 0, 2 (freq) and 3 (last)
+    names = sorted(os.listdir(arch))
+    assert names == ["ckp-0.msgpack", "ckp-2.msgpack", "ckp-3.msgpack"]
+    # the live checkpoint restores
+    state2, sl2, start = restore_checkpoint(dump, state, sl)
+    assert start == 4
