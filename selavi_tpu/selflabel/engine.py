@@ -82,16 +82,23 @@ def aggregate_features(
     batch_iter: Iterator[dict],
     n: int,
     feat_dim: int,
+    sharding=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Forward the whole dataset, scatter features into [N, D] by index.
 
     ``encode_fn(video, audio) -> (feat_v, feat_a)`` must be jitted eval-mode
     GAP features. Batches carry an ``index`` array (dataset positions).
     The [N, D] accumulators are donated back to the scatter each step, so
-    aggregation is in-place on device (no per-batch [N, D] copies).
+    aggregation is in-place on device (no per-batch [N, D] copies). Pass a
+    row ``sharding`` to keep the accumulators distributed over the mesh —
+    the reference materializes the full matrix on rank 0's GPU
+    (sk_utils.py:232-233); here it never has to fit on one chip.
     """
     ps_v = jnp.zeros((n, feat_dim), jnp.float32)
     ps_a = jnp.zeros((n, feat_dim), jnp.float32)
+    if sharding is not None:
+        ps_v = jax.device_put(ps_v, sharding)
+        ps_a = jax.device_put(ps_a, sharding)
     for batch in batch_iter:
         feat_v, feat_a = encode_fn(
             batch["video"], batch.get("audio", batch.get("audio_pcm"))
@@ -117,6 +124,7 @@ def cluster(
     true_labels: Optional[np.ndarray] = None,
     writer=None,
     sk_counter: int = 0,
+    feature_sharding=None,
 ) -> tuple[np.ndarray, MarginalState, dict, dict]:
     """One full re-clustering step.
 
@@ -150,7 +158,8 @@ def cluster(
 
         # 1. full-dataset eval-mode feature aggregation (fresh augs per group)
         ps_v, ps_a = aggregate_features(
-            encode_fn, make_batch_iter(), n, feat_dim=cfg.feat_dim
+            encode_fn, make_batch_iter(), n, feat_dim=cfg.feat_dim,
+            sharding=feature_sharding,
         )
 
         # 2. modality alignment at the very first SK step

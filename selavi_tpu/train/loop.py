@@ -268,6 +268,7 @@ class Trainer:
             true_labels=self.true_labels,
             writer=self.writer,
             sk_counter=self.sl_state.sk_counter,
+            feature_sharding=self.data_sharding,
         )
         if "params" in info:  # modality alignment permuted audio heads
             params = jax.device_put(info["params"], self.replicated)
