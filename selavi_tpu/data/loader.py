@@ -131,10 +131,13 @@ class DataLoader:
         self.epoch = epoch
 
     def __len__(self):
-        n = len(self.dataset) // self.world_size
+        """Exact number of batches every rank yields (identical across
+        ranks for any (N, world_size, batch_size, drop_last))."""
+        n = len(self.dataset)
         if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+            return (n // self.world_size) // self.batch_size
+        per_rank = -(-n // self.world_size)
+        return -(-per_rank // self.batch_size)
 
     def _order(self) -> np.ndarray:
         n = len(self.dataset)
@@ -144,13 +147,22 @@ class DataLoader:
             rng = np.random.default_rng((self.seed, self.epoch))
             order = rng.permutation(n)
         if self.world_size > 1:
-            # same permutation on every process (seeded), strided subset;
-            # pad by wrapping so every process yields equally many batches
-            # (duplicated indices are harmless: training resamples, eval
-            # scatter-by-index is idempotent)
-            pad = (-len(order)) % self.world_size
-            if pad and not self.drop_last:
-                order = np.concatenate([order, order[:pad]])
+            # Same permutation on every process (seeded), strided subset.
+            # Every rank MUST end up with the same index count, or one host
+            # yields an extra batch and the SPMD program deadlocks at its
+            # make_array_from_process_local_data. Under drop_last we
+            # truncate to floor(N/W)*W (the tail is resampled next epoch —
+            # reference DistributedSampler semantics, main.py:93); otherwise
+            # we pad by wrapping (duplicates are harmless: training
+            # resamples, eval scatter-by-index is idempotent).
+            if self.drop_last:
+                order = order[
+                    : (len(order) // self.world_size) * self.world_size
+                ]
+            else:
+                pad = (-len(order)) % self.world_size
+                if pad:
+                    order = np.concatenate([order, order[:pad]])
             order = order[self.rank :: self.world_size]
         return order
 

@@ -151,3 +151,54 @@ def test_loader_process_workers_match_serial():
             np.testing.assert_array_equal(bs["index"], bp["index"])
     finally:
         proc.close()
+
+
+class _StubDataset:
+    """Minimal map-style dataset for loader index-math tests (no decode)."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def get_example(self, idx, rng):
+        return {
+            "video": np.zeros((1, 2, 2, 3), np.uint8),
+            "audio": np.zeros((4, 4), np.float32),
+            "label": 0,
+            "index": idx,
+            "vid_idx": idx,
+        }
+
+
+def test_loader_equal_batch_counts_all_remainders():
+    """Every rank must yield exactly the same number of batches for any
+    (N, world_size, batch_size, drop_last) — a mismatch deadlocks the SPMD
+    program at the extra make_array_from_process_local_data (reference
+    DistributedSampler contract, /root/reference/main.py:93)."""
+    world_size = 4
+    for extra in range(world_size):  # sweep N mod world_size
+        for batch_size in (1, 3):
+            for drop_last in (True, False):
+                n = 12 + extra
+                ds = _StubDataset(n)
+                counts = []
+                covered = set()
+                for rank in range(world_size):
+                    loader = DataLoader(
+                        ds, batch_size=batch_size, shuffle=True, seed=7,
+                        drop_last=drop_last, rank=rank,
+                        world_size=world_size,
+                    )
+                    loader.set_epoch(1)
+                    batches = list(loader)
+                    counts.append(len(batches))
+                    assert len(batches) == len(loader), (
+                        n, batch_size, drop_last, rank,
+                    )
+                    for b in batches:
+                        covered.update(int(i) for i in b["index"])
+                assert len(set(counts)) == 1, (n, batch_size, drop_last)
+                if not drop_last and batch_size == 1:
+                    assert covered == set(range(n))
