@@ -179,4 +179,11 @@ def parse_arguments() -> argparse.ArgumentParser:
     parser.add_argument("--trace_profile", type="bool", default="False",
                         help="capture a jax.profiler trace of epoch 0 "
                              "into {dump_path}/profile")
+    parser.add_argument("--sk_augment", type="bool", default="True",
+                        help="apply fresh device augmentations (hflip + "
+                             "optional colorjitter/grayscale) during SK "
+                             "feature aggregation, like the reference's "
+                             "fully-augmented aggregation pass "
+                             "(sk_utils.py:153-174); false = deterministic "
+                             "normalize-only encode")
     return parser

@@ -144,10 +144,19 @@ class Trainer:
         # batch sizes (24 vs 563 clips/s at bs 64 on v5e) — XLA's 2D conv
         # algorithm choice degrades with huge B*T. Both train and eval use
         # '3d'; models/convert.py keeps the expressions interchangeable.
+        # SK aggregation sees fresh augmentations (flip + optional
+        # colorjitter/grayscale), matching the reference's fully-augmented
+        # aggregation pass (sk_utils.py:153-174). --sk_augment false gives
+        # the deterministic normalize-only encode.
+        self.sk_augment = getattr(args, "sk_augment", True)
         self.encode = make_encode_fn(
             self.model, compute_dtype=compute_dtype,
             audio_cfg=self.audio_cfg,
+            augment=self.sk_augment,
+            colorjitter=args.colorjitter,
+            grayscale=args.use_grayscale,
         )
+        self._agg_rng = jax.random.PRNGKey(args.seed + 2)
         self.head_logits = make_head_logits_fn(self.model)
 
         self.sk_cfg = SKConfig(
@@ -245,6 +254,12 @@ class Trainer:
         self.sk_schedule.pop()
 
         def encode_fn(video, audio):
+            if self.sk_augment:
+                self._agg_rng, sub = jax.random.split(self._agg_rng)
+                return self.encode(
+                    self.state.params, self.state.batch_stats, video,
+                    audio, sub,
+                )
             return self.encode(
                 self.state.params, self.state.batch_stats, video, audio
             )
@@ -280,6 +295,13 @@ class Trainer:
         return True
 
     def train_epoch(self, epoch: int) -> float:
+        if self.batches_per_epoch == 0:
+            raise ValueError(
+                f"dataset ({len(self.dataset)} samples) is smaller than "
+                f"one global batch ({self.loader.batch_size} per process "
+                f"x {jax.process_count()} processes with drop_last) - "
+                "reduce --batch_size or add data"
+            )
         self.loader.set_epoch(epoch)
         losses = AverageMeter()
         batch_time = AverageMeter()

@@ -139,10 +139,46 @@ def make_bn_warmup_step(
 
 
 def make_encode_fn(
-    model, compute_dtype=jnp.float32, audio_cfg: Optional[dict] = None
+    model,
+    compute_dtype=jnp.float32,
+    audio_cfg: Optional[dict] = None,
+    augment: bool = False,
+    colorjitter: bool = False,
+    grayscale: bool = False,
 ) -> Callable:
     """Eval-mode GAP features for the SK aggregation pass
-    (reference sk_utils.py:196-211; eval mode = running BN stats)."""
+    (reference sk_utils.py:196-211; eval mode = running BN stats).
+
+    With ``augment=True`` the returned function takes a trailing ``rng``
+    and routes the video through the same fused device augmentation as the
+    train step (hflip p=.5 + optional colorjitter/grayscale): the reference
+    aggregates features by re-iterating the *fully augmented* train dataset
+    (sk_utils.py:153-174; video_transforms.py:137-164), so SK must see
+    fresh flips, not just the host-side crop jitter. ``augment=False``
+    keeps the deterministic normalize-only path used by eval dumps (the
+    reference's get_clusters.py:294-312 builds a no-jitter dataset).
+    """
+    if augment:
+
+        @jax.jit
+        def encode_aug(params, batch_stats, video_u8, audio, rng):
+            video = augment_video_batch(
+                video_u8,
+                rng,
+                colorjitter=colorjitter,
+                grayscale=grayscale,
+                flip=True,
+                dtype=compute_dtype,
+            )
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                video,
+                prepare_audio(audio, compute_dtype, audio_cfg),
+                train=False,
+                return_features=True,
+            )
+
+        return encode_aug
 
     @jax.jit
     def encode(params, batch_stats, video_u8, audio):
