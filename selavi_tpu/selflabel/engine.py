@@ -229,8 +229,11 @@ def cluster(
                 time.time() - t0,
             )
 
-    # 4. diagnostics (reference sk_utils.py:44-122)
+    # 4. diagnostics (reference sk_utils.py:44-122: NMI vs old/gt scalars,
+    # per-cluster entropy/purity HISTOGRAMS every 10th SK). We additionally
+    # report NMI per head (the reference only looks at head 0).
     metrics = {"sk_cost": float(np.mean(costs)), "sk_time": time.time() - t_start}
+    histograms: dict = {}
     try:
         from sklearn.metrics.cluster import (
             adjusted_mutual_info_score,
@@ -247,18 +250,30 @@ def cluster(
             metrics["anmi_vs_gt"] = adjusted_mutual_info_score(
                 new_labels[:, 0], true_labels, average_method="arithmetic"
             )
+            for head in range(1, cfg.headcount):
+                metrics[f"nmi_vs_gt_head{head}"] = (
+                    normalized_mutual_info_score(
+                        new_labels[:, head],
+                        true_labels,
+                        average_method="arithmetic",
+                    )
+                )
             if (sk_counter + 1) % 10 == 0:
-                ent, pur = cluster_entropy_purity(
+                ents, purs = cluster_entropy_purity(
                     new_labels[:, 0], true_labels
                 )
-                metrics["avg_entropy"] = ent
-                metrics["avg_purity"] = pur
+                metrics["avg_entropy"] = float(np.mean(ents))
+                metrics["avg_purity"] = float(np.mean(purs))
+                histograms["entropies"] = ents
+                histograms["purities"] = purs
     except ImportError:  # pragma: no cover - sklearn is baked in
         pass
 
     if writer is not None:
         for k, v in metrics.items():
             writer.add_scalar(f"train/{k}", v, iter_num)
+        for k, v in histograms.items():
+            writer.add_histogram(f"train/{k}", v, iter_num)
     logger.info(
         "SK step @ iter %d: %s",
         iter_num,
@@ -268,7 +283,8 @@ def cluster(
 
 
 def cluster_entropy_purity(pred: np.ndarray, truth: np.ndarray):
-    """Per-cluster label entropy / purity averages (sk_utils.py:89-101)."""
+    """Per-cluster gt-label entropy / purity arrays (sk_utils.py:89-122;
+    the reference histograms the full arrays and logs their means)."""
     from scipy.stats import entropy as scipy_entropy
 
     entropies, purities = [], []
@@ -280,7 +296,7 @@ def cluster_entropy_purity(pred: np.ndarray, truth: np.ndarray):
         frac = counts / counts.sum()
         purities.append(frac.max())
         entropies.append(scipy_entropy(frac))
-    return float(np.mean(entropies)), float(np.mean(purities))
+    return np.asarray(entropies), np.asarray(purities)
 
 
 def _apply_audio_perm(params: dict, head: int, perm: np.ndarray) -> dict:
