@@ -45,10 +45,18 @@ def parse_args(argv=None):
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--workers", type=int, default=8)
     parser.add_argument("--num_data_samples", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=31,
+                        help="dataset seed; must match training for "
+                             "synthetic ground-truth label consistency")
     parser.add_argument("--tpu_aligned_midplanes", type="bool",
                         default="False",
                         help="set to true for checkpoints trained with "
                              "MXU-aligned midplane widths")
+    parser.add_argument("--device_spectrogram", type="bool",
+                        default="False",
+                        help="dataset ships raw PCM; spectrograms are "
+                             "computed on device (matches training with "
+                             "--device_spectrogram)")
     return parser.parse_args(argv)
 
 
@@ -56,45 +64,22 @@ def main(argv=None):
     args = parse_args(argv)
     k = args.mlp_dim or NUM_CLUSTERS.get(args.ds_name, 309)
 
-    if args.ds_name == "synthetic":
-        from selavi_tpu.data.synthetic import SyntheticAVDataset
+    from selavi_tpu.data.factory import (
+        audio_cfg_from_args,
+        build_dataset,
+        example_shapes,
+    )
 
-        dataset = SyntheticAVDataset(
-            num_samples=args.num_data_samples or 64,
-            num_frames=args.num_frames,
-            aud_sample_rate=args.aud_sample_rate,
-            aud_spec_type=args.aud_spec_type,
-        )
-    else:
-        from selavi_tpu.data.dataset import AVideoDataset
-
-        dataset = AVideoDataset(
-            ds_name=args.ds_name,
-            root_dir=args.root_dir,
-            mode=args.mode,
-            path_to_data_dir=args.data_path,
-            num_frames=args.num_frames,
-            target_fps=args.target_fps,
-            train_crop_size=args.train_crop_size,
-            num_data_samples=args.num_data_samples,
-            num_sec=args.num_sec_aud,
-            aud_sample_rate=args.aud_sample_rate,
-            aud_spec_type=args.aud_spec_type,
-            z_normalize=args.z_normalize,
-            center_crop=True,
-            temp_jitter=False,
-        )
+    dataset = build_dataset(args, mode=args.mode, eval_mode=True)
 
     model = load_model(
         headcount=args.headcount, num_classes=k, use_mlp=args.use_mlp,
         midplanes_mode="aligned" if args.tpu_aligned_midplanes else "parity",
     )
-    example = dataset.get_example(0, np.random.default_rng(0))
+    video_shape, audio_shape = example_shapes(args, dataset)
     tx = make_optimizer(0.01, 0.0)
     state = create_train_state(
-        model, tx, jax.random.PRNGKey(0),
-        (2,) + example["video"].shape,
-        (2,) + example["audio"].shape + (1,),
+        model, tx, jax.random.PRNGKey(0), video_shape, audio_shape,
     )
     if args.weights_path.endswith((".pth", ".pth.tar")):
         # reference PyTorch checkpoint -> flax trees
@@ -115,7 +100,7 @@ def main(argv=None):
 
     mesh = make_mesh()
     dsh = data_sharding(mesh)
-    encode = make_encode_fn(model)
+    encode = make_encode_fn(model, audio_cfg=audio_cfg_from_args(args))
     head_logits = make_head_logits_fn(model)
 
     loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=False,

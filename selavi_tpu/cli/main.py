@@ -15,55 +15,7 @@ from selavi_tpu.train.loop import Trainer
 from selavi_tpu.utils.experiment import fix_random_seeds, initialize_exp
 
 
-def build_dataset(args, mode: str = "train"):
-    if args.ds_name == "packed":
-        from selavi_tpu.data.packed import PackedAVDataset
-
-        return PackedAVDataset(
-            args.root_dir,
-            crop_size=args.train_crop_size,
-            mode=mode,
-            num_sec=args.num_sec_aud,
-            sample_rate=args.aud_sample_rate,
-        )
-    if args.ds_name == "synthetic":
-        from selavi_tpu.data.synthetic import SyntheticAVDataset
-
-        return SyntheticAVDataset(
-            num_samples=args.num_data_samples or 64,
-            num_classes=max(args.mlp_dim // 4, 2),
-            num_frames=args.num_frames,
-            crop_size=args.train_crop_size,
-            num_sec=args.num_sec_aud,
-            aud_sample_rate=args.aud_sample_rate,
-            aud_spec_type=args.aud_spec_type,
-            z_normalize=args.z_normalize,
-            seed=args.seed,
-            mode=mode,
-            return_pcm=args.device_spectrogram,
-        )
-    from selavi_tpu.data.dataset import AVideoDataset
-
-    return AVideoDataset(
-        ds_name=args.ds_name,
-        root_dir=args.root_dir,
-        mode=mode,
-        path_to_data_dir=args.data_path,
-        num_frames=args.num_frames,
-        target_fps=args.target_fps,
-        sample_rate=args.sample_rate,
-        train_crop_size=args.train_crop_size,
-        test_crop_size=args.test_crop_size,
-        num_data_samples=args.num_data_samples,
-        num_sec=args.num_sec_aud,
-        aud_sample_rate=args.aud_sample_rate,
-        aud_spec_type=args.aud_spec_type,
-        use_volume_jittering=args.use_volume_jittering,
-        use_temporal_jittering=args.use_audio_temp_jittering,
-        z_normalize=args.z_normalize,
-        dual_data=args.dual_data,
-        seed=args.seed,
-    )
+from selavi_tpu.data.factory import build_dataset  # noqa: F401 (re-export)
 
 
 def main(argv=None):

@@ -1,0 +1,106 @@
+"""Dataset construction shared by the train and eval CLIs.
+
+The reference builds datasets ad hoc per script (main.py:67-91,
+get_clusters.py:294-312, retrieval_utils.py:106-148); here one factory
+covers synthetic / packed-shard / real-media datasets so every CLI accepts
+the same ``--ds_name`` surface, including the PCM (``--device_spectrogram``)
+path. ``eval_mode=True`` reproduces the reference's evaluation dataset:
+center crop, no temporal jitter (get_clusters.py:294-312).
+"""
+
+from __future__ import annotations
+
+
+def build_dataset(args, mode: str = "train", eval_mode: bool = False):
+    return_pcm = bool(getattr(args, "device_spectrogram", False))
+    if args.ds_name == "packed":
+        from selavi_tpu.data.packed import PackedAVDataset
+
+        return PackedAVDataset(
+            args.root_dir,
+            crop_size=args.train_crop_size,
+            mode="val" if eval_mode else mode,
+            num_sec=args.num_sec_aud,
+            sample_rate=args.aud_sample_rate,
+        )
+    if args.ds_name == "synthetic":
+        from selavi_tpu.data.synthetic import SyntheticAVDataset
+
+        return SyntheticAVDataset(
+            num_samples=args.num_data_samples or 64,
+            num_classes=max((getattr(args, "mlp_dim", None) or 8) // 4, 2),
+            num_frames=args.num_frames,
+            crop_size=args.train_crop_size,
+            num_sec=args.num_sec_aud,
+            aud_sample_rate=args.aud_sample_rate,
+            aud_spec_type=args.aud_spec_type,
+            z_normalize=args.z_normalize,
+            seed=getattr(args, "seed", 31),
+            mode="val" if eval_mode else mode,
+            return_pcm=return_pcm,
+        )
+    from selavi_tpu.data.dataset import AVideoDataset
+
+    kwargs = dict(
+        ds_name=args.ds_name,
+        root_dir=args.root_dir,
+        mode=mode,
+        path_to_data_dir=args.data_path,
+        num_frames=args.num_frames,
+        target_fps=args.target_fps,
+        train_crop_size=args.train_crop_size,
+        num_data_samples=args.num_data_samples,
+        num_sec=args.num_sec_aud,
+        aud_sample_rate=args.aud_sample_rate,
+        aud_spec_type=args.aud_spec_type,
+        z_normalize=args.z_normalize,
+        seed=getattr(args, "seed", 31),
+        return_pcm=return_pcm,
+    )
+    if eval_mode:
+        kwargs.update(center_crop=True, temp_jitter=False)
+    else:
+        kwargs.update(
+            sample_rate=getattr(args, "sample_rate", 1),
+            test_crop_size=getattr(args, "test_crop_size", 112),
+            use_volume_jittering=getattr(
+                args, "use_volume_jittering", False
+            ),
+            use_temporal_jittering=getattr(
+                args, "use_audio_temp_jittering", False
+            ),
+            dual_data=getattr(args, "dual_data", False),
+        )
+    return AVideoDataset(**kwargs)
+
+
+def audio_cfg_from_args(args) -> dict:
+    """The on-device audio-frontend config (ops/logmel.py) matching the
+    host frontend flags (reference audio_utils.py:46-72)."""
+    return {
+        "samplerate": args.aud_sample_rate,
+        "nfilt": 40 if args.aud_spec_type == 1 else 257,
+        "z_normalize": args.z_normalize,
+    }
+
+
+def example_shapes(args, dataset) -> tuple[tuple, tuple]:
+    """(video_shape, audio_spec_shape) with batch dim 2, for model init —
+    works for both spectrogram and PCM datasets."""
+    import numpy as np
+
+    example = dataset.get_example(0, np.random.default_rng(0))
+    video_shape = (2,) + example["video"].shape
+    if "audio" in example:
+        audio = example["audio"]
+        shape = audio.shape if audio.ndim == 3 else audio.shape + (1,)
+        return video_shape, (2,) + shape
+    from selavi_tpu.data.audio import spec_num_frames
+
+    nfilt = 40 if args.aud_spec_type == 1 else 257
+    return video_shape, (
+        2,
+        nfilt,
+        spec_num_frames(args.num_sec_aud, args.aud_sample_rate),
+        1,
+    )

@@ -35,7 +35,9 @@ def dump_cluster_matrices(
     feats_v = jnp.zeros((n, feat_dim), jnp.float32)
     feats_a = jnp.zeros((n, feat_dim), jnp.float32)
     for batch in batch_iter:
-        fv, fa = encode_fn(batch["video"], batch["audio"])
+        fv, fa = encode_fn(
+            batch["video"], batch.get("audio", batch.get("audio_pcm"))
+        )
         feats_v, feats_a = _scatter_features(
             feats_v, feats_a, fv, fa, jnp.asarray(batch["index"])
         )

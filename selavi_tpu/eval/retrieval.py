@@ -83,7 +83,13 @@ def collect_features(
         vids.append(np.asarray(batch["vid_idx"]))
         labels.append(np.asarray(batch["label"]))
         if audio_encode_fn is not None:
-            afeats.append(np.asarray(audio_encode_fn(batch["audio"])))
+            afeats.append(
+                np.asarray(
+                    audio_encode_fn(
+                        batch.get("audio", batch.get("audio_pcm"))
+                    )
+                )
+            )
     out = (
         np.concatenate(feats),
         np.concatenate(vids),
@@ -122,15 +128,20 @@ def average_features(
     )
 
 
-def make_audio_encode_fn(model, compute_dtype=jnp.float32):
+def make_audio_encode_fn(
+    model, compute_dtype=jnp.float32, audio_cfg: Optional[dict] = None
+):
     """Jitted audio GAP features [B,F,T,1] -> [B,512] (for a-a/v-a/a-v
-    retrieval tasks, reference retrieval_utils.py:391-407)."""
+    retrieval tasks, reference retrieval_utils.py:391-407). Raw PCM [B,S]
+    batches (``--device_spectrogram`` datasets) are routed through the
+    on-device log-filterbank frontend."""
+    from selavi_tpu.train.step import prepare_audio
 
     @jax.jit
     def encode(params, batch_stats, audio):
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
-            audio.astype(compute_dtype),
+            prepare_audio(audio, compute_dtype, audio_cfg),
             train=False,
             method=model.encode_audio,
         ).astype(jnp.float32)
