@@ -148,6 +148,7 @@ class AVideoDataset:
         annotation_path: Optional[str] = None,
         seed: int = 0,
         return_pcm: bool = False,
+        decode_retries: int = 10,
         **_unused,
     ):
         assert mode in ("train", "val", "test"), mode
@@ -177,6 +178,7 @@ class AVideoDataset:
         self.use_temporal_jittering = use_temporal_jittering
         self.z_normalize = z_normalize
         self.return_pcm = return_pcm
+        self.decode_retries = decode_retries
         self.fold = fold
         self.annotation_path = annotation_path
         self.seed = seed
@@ -293,8 +295,34 @@ class AVideoDataset:
         return np.asarray(self._labels)[np.asarray(self.valid_indices)]
 
     def get_example(self, index: int, rng: Optional[np.random.Generator] = None):
+        """Decode-failure tolerant fetch: a corrupt/truncated file must not
+        kill a 200-epoch run (the reference wraps decode in try/except and
+        returns None, dropped by collate — decoder.py:347-384,
+        retrieval_utils.py:22-27). SPMD batches are fixed-shape, so instead
+        of dropping we log and resample another valid index, bounded by
+        ``decode_retries``."""
         if rng is None:
             rng = np.random.default_rng()
+        last_err = None
+        for attempt in range(self.decode_retries + 1):
+            try:
+                return self._get_example_once(index, rng)
+            except (RuntimeError, OSError, ValueError) as e:
+                last_err = e
+                logger.warning(
+                    "decode failed for sample %d (%s); resampling "
+                    "(attempt %d/%d)",
+                    index, e, attempt + 1, self.decode_retries,
+                )
+                index = int(rng.integers(len(self)))
+        raise RuntimeError(
+            f"{self.decode_retries + 1} consecutive decode failures; "
+            f"last: {last_err}"
+        )
+
+    def _get_example_once(
+        self, index: int, rng: np.random.Generator
+    ):
         index_capped = index
         index = self.valid_indices[index_capped]
 
@@ -360,7 +388,7 @@ class AVideoDataset:
 
     def _decode_one(self, index, clip_idx, num_clips, rng):
         path = self._path_to_videos[index]
-        frames, fps, start_sec = dec.decode_pyav(
+        frames, fps, start_sec = dec.decode_video(
             path,
             self.sample_rate,
             self.num_frames,

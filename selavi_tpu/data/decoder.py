@@ -141,6 +141,123 @@ def decode_pyav(
     return clip_frames, fps, start_sec
 
 
+def probe_video_meta(path: str) -> Optional[dict]:
+    """ffprobe width/height/fps/duration of the first video stream."""
+    import json
+    import shutil
+
+    if shutil.which("ffprobe") is None:
+        return None
+    try:
+        out = subprocess.run(
+            [
+                "ffprobe", "-v", "quiet", "-print_format", "json",
+                "-show_streams", "-show_format", path,
+            ],
+            capture_output=True,
+            check=True,
+        ).stdout
+        meta = json.loads(out)
+    except Exception:
+        return None
+    vstreams = [
+        s for s in meta.get("streams", [])
+        if s.get("codec_type") == "video"
+    ]
+    if not vstreams:
+        return None
+    s = vstreams[0]
+    num, _, den = (s.get("avg_frame_rate") or "0/1").partition("/")
+    try:
+        fps = float(num) / float(den or 1)
+    except (ValueError, ZeroDivisionError):
+        fps = 0.0
+    duration = float(
+        s.get("duration") or meta.get("format", {}).get("duration") or 0.0
+    )
+    return {
+        "width": int(s["width"]),
+        "height": int(s["height"]),
+        "fps": fps,
+        "duration": duration,
+    }
+
+
+def decode_video_ffmpeg(
+    path: str,
+    sampling_rate: int,
+    num_frames: int,
+    clip_idx: int,
+    num_clips: int,
+    target_fps: int = 30,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[Optional[np.ndarray], float, float]:
+    """Clip decode via the ffmpeg binary (rawvideo rgb24 pipe): the video
+    fallback for hosts without PyAV, mirroring the reference's secondary
+    decode backend role (decoder.py:298-350 torchvision fallback). Seeks to
+    the clip window with ``-ss`` so only the needed packets are decoded."""
+    meta = probe_video_meta(path)
+    if meta is None or meta["fps"] <= 0 or meta["duration"] <= 0:
+        return None, 0.0, 0.0
+    fps = meta["fps"]
+    frames_length = meta["duration"] * fps
+    clip_size = sampling_rate * num_frames / target_fps * fps
+    start_idx, end_idx = get_start_end_idx(
+        frames_length, clip_size, clip_idx, num_clips, rng
+    )
+    start_sec = clip_seconds(start_idx, fps)
+    window_sec = max((end_idx - start_idx + 1) / fps, 1.0 / fps)
+    w, h = meta["width"], meta["height"]
+    cmd = [
+        "ffmpeg", "-nostdin",
+        "-ss", f"{start_sec:.4f}", "-i", path,
+        "-t", f"{window_sec:.4f}",
+        "-f", "rawvideo", "-pix_fmt", "rgb24", "-",
+    ]
+    try:
+        out = subprocess.run(cmd, capture_output=True, check=True).stdout
+    except subprocess.CalledProcessError:
+        return None, fps, start_sec
+    frame_bytes = w * h * 3
+    n = len(out) // frame_bytes
+    if n == 0:
+        return None, fps, start_sec
+    arr = np.frombuffer(
+        out[: n * frame_bytes], np.uint8
+    ).reshape(n, h, w, 3)
+    clip_frames = temporal_sampling(arr, 0, n - 1, num_frames)
+    return clip_frames, fps, start_sec
+
+
+def decode_video(
+    path: str,
+    sampling_rate: int,
+    num_frames: int,
+    clip_idx: int,
+    num_clips: int,
+    target_fps: int = 30,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[Optional[np.ndarray], float, float]:
+    """Backend dispatcher: selective PyAV decode when available, ffmpeg-CLI
+    fallback otherwise (or when PyAV raises on a corrupt file). Returns
+    (frames|None, fps, start_sec) — None signals a decode failure the
+    caller may tolerate (reference decoder.py:347-384 try/except)."""
+    if have_pyav():
+        try:
+            return decode_pyav(
+                path, sampling_rate, num_frames, clip_idx, num_clips,
+                target_fps=target_fps, rng=rng,
+            )
+        except Exception:
+            pass  # fall through to ffmpeg on corrupt/unreadable input
+    if have_ffmpeg():
+        return decode_video_ffmpeg(
+            path, sampling_rate, num_frames, clip_idx, num_clips,
+            target_fps=target_fps, rng=rng,
+        )
+    return None, 0.0, 0.0
+
+
 def decode_audio_ffmpeg(
     path: str, sample_rate: int
 ) -> Optional[np.ndarray]:

@@ -111,3 +111,82 @@ def test_hmdb51_fold_selection(tmp_path):
               "/d/brush_hair/v3.avi"]
     assert select_fold_hmdb51(videos, str(ann), 1, True) == [0]
     assert select_fold_hmdb51(videos, str(ann), 1, False) == [1]
+
+
+def _failing_dataset(tmp_path, retries=10):
+    root = str(tmp_path / "dsf")
+    data = str(tmp_path / "cachef")
+    _make_tree(root, "train", ["a", "b"], per_class=2)
+    os.makedirs(data, exist_ok=True)
+    with open(os.path.join(data, "ave_valid.pkl"), "wb") as f:
+        pickle.dump(list(range(4)), f)
+    return AVideoDataset(
+        ds_name="ave", root_dir=root, mode="train",
+        path_to_data_dir=data, num_data_samples=4,
+        decode_retries=retries,
+    )
+
+
+def test_decode_failure_resamples_other_index(tmp_path, monkeypatch):
+    """A corrupt file must not kill training: get_example resamples a
+    different valid index (reference drops Nones at collate,
+    decoder.py:347-384 + retrieval_utils.py:22-27)."""
+    ds = _failing_dataset(tmp_path)
+    calls = []
+
+    def fake_decode_one(index, clip_idx, num_clips, rng):
+        calls.append(index)
+        if index == 1:  # the "corrupt" file
+            raise RuntimeError("corrupt mp4")
+        frames = np.zeros((4, 32, 32, 3), np.uint8)
+        spec = np.zeros((1, 40, 9), np.float32)
+        return frames, spec
+
+    monkeypatch.setattr(ds, "_decode_one", fake_decode_one)
+    out = ds.get_example(1, np.random.default_rng(0))
+    assert out["video"].shape[0] == 4
+    assert calls[0] == 1 and len(calls) >= 2  # failed, then resampled
+    assert out["index"] != 1  # substitute sample carries its own index
+
+
+def test_decode_failure_bounded_retries(tmp_path, monkeypatch):
+    ds = _failing_dataset(tmp_path, retries=3)
+
+    def always_fail(index, clip_idx, num_clips, rng):
+        raise RuntimeError("all files corrupt")
+
+    monkeypatch.setattr(ds, "_decode_one", always_fail)
+    with pytest.raises(RuntimeError, match="consecutive decode failures"):
+        ds.get_example(0, np.random.default_rng(0))
+
+
+def test_decode_video_no_backends_returns_none(monkeypatch):
+    from selavi_tpu.data import decoder as dec
+
+    monkeypatch.setattr(dec, "have_pyav", lambda: False)
+    monkeypatch.setattr(dec, "have_ffmpeg", lambda: False)
+    frames, fps, start = dec.decode_video("/nonexistent.mp4", 1, 8, -1, 1)
+    assert frames is None
+
+
+def test_decode_video_ffmpeg_real_media(tmp_path):
+    """End-to-end ffmpeg-CLI clip decode on a real generated mp4 (runs only
+    where the ffmpeg binary exists)."""
+    from selavi_tpu.data import decoder as dec
+
+    if not dec.have_ffmpeg():
+        pytest.skip("no ffmpeg binary in this environment")
+    import subprocess
+
+    path = str(tmp_path / "t.mp4")
+    subprocess.run(
+        ["ffmpeg", "-y", "-f", "lavfi", "-i", "testsrc=duration=2:size="
+         "64x48:rate=10", "-f", "lavfi", "-i",
+         "sine=frequency=440:duration=2", "-shortest", path],
+        capture_output=True, check=True,
+    )
+    frames, fps, start = dec.decode_video_ffmpeg(
+        path, 1, 8, -1, 1, target_fps=10, rng=np.random.default_rng(0)
+    )
+    assert frames is not None and frames.shape == (8, 48, 64, 3)
+    assert fps > 0
