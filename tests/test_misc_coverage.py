@@ -22,7 +22,7 @@ def test_pdstats_roundtrip_and_schema_check(tmp_path):
     stats2 = PDStats(path, ["epoch", "loss"])
     assert len(stats2.stats) == 2
     # schema mismatch is rejected (reference PD_Stats contract)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         PDStats(path, ["epoch", "accuracy"])
 
 
