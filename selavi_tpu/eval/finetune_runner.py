@@ -198,12 +198,15 @@ def run_fold(
                 params, batch_stats, opt_state,
                 batch["video"], jnp.asarray(batch["label"]), sub,
             )
-            losses.update(float(loss), len(batch["label"]))
-            acc1, _ = topk_accuracy(
-                np.asarray(logits), batch["label"], (1, 5)
-            )
-            top1.update(acc1, len(batch["label"]))
+            # fetch loss/accuracy only at the logging cadence: a float()
+            # per step would serialize host<->device dispatch every
+            # iteration (same hygiene as the pretrain loop, train/loop.py)
             if it % 50 == 0:
+                losses.update(float(loss), len(batch["label"]))
+                acc1, _ = topk_accuracy(
+                    np.asarray(logits), batch["label"], (1, 5)
+                )
+                top1.update(acc1, len(batch["label"]))
                 logger.info(
                     "Epoch[%d] Iter %d/%d Loss %.4f (%.4f) Prec %.3f",
                     epoch, it, len(loader), losses.val, losses.avg, top1.avg,
