@@ -47,6 +47,25 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
+def fetch_to_host(x) -> np.ndarray:
+    """``np.asarray`` for arrays that may span non-addressable devices.
+
+    Multi-host SPMD arrays (e.g. the row-sharded Sinkhorn labels) cannot be
+    fetched directly — every process first reshards to fully-replicated
+    (an all-gather over ICI), then reads its local copy. Single-host or
+    fully-addressable arrays take the fast path. Must be called from ALL
+    processes (it launches a collective)."""
+    if not hasattr(x, "is_fully_addressable") or x.is_fully_addressable:
+        return np.asarray(x)
+    if x.is_fully_replicated:
+        return np.asarray(x.addressable_shards[0].data)
+    mesh = x.sharding.mesh
+    rep = jax.jit(
+        lambda a: a, out_shardings=NamedSharding(mesh, P())
+    )(x)
+    return np.asarray(rep.addressable_shards[0].data)
+
+
 def global_batch_from_local(mesh: Mesh, local_batch: dict) -> dict:
     """Assemble a globally-sharded batch from per-host shards.
 

@@ -188,7 +188,9 @@ def cluster(
             )
             colsum = None
             if cfg.distribution != "default":
-                colsum = np.asarray(
+                from selavi_tpu.parallel.mesh import fetch_to_host
+
+                colsum = fetch_to_host(
                     jax.scipy.special.logsumexp(log_ps, axis=0)
                 )
             log_r, marginal_state = get_marginal(
@@ -218,7 +220,11 @@ def cluster(
                 use_pallas=use_pallas,
                 m_bf16=cfg.sk_m_bf16 and use_pallas,
             )
-            new_labels[:, head] = np.asarray(res.labels)
+            from selavi_tpu.parallel.mesh import fetch_to_host
+
+            # labels are row-sharded over the mesh; every process gathers
+            # the full vector (multi-host: an all-gather, then local read)
+            new_labels[:, head] = fetch_to_host(res.labels)
             costs.append(float(res.cost))
             logger.info(
                 "head %d: SK cost %.3f, err %.3g, %d iters, %.2fs",

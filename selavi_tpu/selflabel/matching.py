@@ -111,9 +111,11 @@ def match_order(
     The sequential swap loop runs in the C++ data runtime when built
     (~100x faster than the Python loop at K=309); the Python implementation
     is the reference semantics and the fallback."""
+    from selavi_tpu.parallel.mesh import fetch_to_host
+
     pv = jax.nn.softmax(logits_v.astype(jnp.float32), axis=1)
     pa = jax.nn.softmax(logits_a.astype(jnp.float32), axis=1)
-    cost = np.asarray(column_cost_matrix(pv, pa))
+    cost = fetch_to_host(column_cost_matrix(pv, pa))
     if use_native:
         from selavi_tpu import native
 
