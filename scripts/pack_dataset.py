@@ -25,6 +25,14 @@ from selavi_tpu.data.packed import write_packed_shard  # noqa: E402
 def main(argv=None):
     parser = parse_arguments()
     parser.add_argument("--output", type=str, required=True)
+    parser.add_argument("--pack_video_format", type=str, default="rgb",
+                        choices=["rgb", "yuv420"],
+                        help="yuv420 halves video bytes on the wire (RGB "
+                             "reconstructed on device)")
+    parser.add_argument("--pack_pcm_dtype", type=str, default="int16",
+                        choices=["int16", "float32"],
+                        help="int16 = native decode width, quarter the "
+                             "audio bytes")
     args = parser.parse_args(argv)
 
     from selavi_tpu.cli.main import build_dataset
@@ -35,9 +43,12 @@ def main(argv=None):
     meta = write_packed_shard(
         dataset, args.output, num_samples=args.num_data_samples,
         seed=args.seed,
+        video_format=args.pack_video_format,
+        pcm_dtype=args.pack_pcm_dtype,
     )
     print(f"packed {meta['n']} samples -> {args.output} "
-          f"(video {meta['video_shape']}, pcm {meta['pcm_len']})")
+          f"(video {meta['video_shape']} {args.pack_video_format}, "
+          f"pcm {meta['pcm_len']} {args.pack_pcm_dtype})")
 
 
 if __name__ == "__main__":

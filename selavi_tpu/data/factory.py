@@ -90,7 +90,10 @@ def example_shapes(args, dataset) -> tuple[tuple, tuple]:
     import numpy as np
 
     example = dataset.get_example(0, np.random.default_rng(0))
-    video_shape = (2,) + example["video"].shape
+    if "video" in example:
+        video_shape = (2,) + example["video"].shape
+    else:  # YUV 4:2:0 wire format
+        video_shape = (2,) + example["video_y"].shape + (3,)
     if "audio" in example:
         audio = example["audio"]
         shape = audio.shape if audio.ndim == 3 else audio.shape + (1,)

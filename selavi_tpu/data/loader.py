@@ -168,13 +168,20 @@ class DataLoader:
 
     def _collate(self, examples) -> dict:
         batch = {}
-        video = np.stack([e["video"] for e in examples])
-        batch["video"] = video
+        if "video_y" in examples[0]:
+            # YUV 4:2:0 wire format: half the video bytes over the wire;
+            # RGB is reconstructed on device (ops.preprocess)
+            batch["video_y"] = np.stack([e["video_y"] for e in examples])
+            batch["video_uv"] = np.stack([e["video_uv"] for e in examples])
+        else:
+            batch["video"] = np.stack([e["video"] for e in examples])
         if "audio_pcm" in examples[0]:
-            # raw waveforms: the spectrogram is computed on device
-            batch["audio_pcm"] = np.stack(
-                [e["audio_pcm"] for e in examples]
-            ).astype(np.float32)
+            # raw waveforms: the spectrogram is computed on device; int16
+            # (packed shards) stays int16 over the wire
+            pcm = np.stack([e["audio_pcm"] for e in examples])
+            batch["audio_pcm"] = (
+                pcm if pcm.dtype == np.int16 else pcm.astype(np.float32)
+            )
         elif "audio" in examples[0]:
             audio = np.stack([e["audio"] for e in examples])
             if audio.ndim == 3:  # [B, F, T] -> add channel axis
@@ -287,3 +294,32 @@ def device_prefetch(
             yield queue.popleft()
     while queue:
         yield queue.popleft()
+
+
+def decode_wire_batches(batch_iter: Iterator[dict]) -> Iterator[dict]:
+    """Expand wire-efficient batch encodings on device.
+
+    Sits after ``device_prefetch`` (arrays are already sharded on the
+    mesh): YUV 4:2:0 planes become RGB uint8, int16 PCM becomes float32 —
+    both elementwise jit ops that preserve the batch sharding. Pass-through
+    for plain batches, so it is always safe to apply.
+    """
+    import jax.numpy as jnp
+
+    from selavi_tpu.ops.preprocess import yuv420_to_rgb_batch
+
+    for batch in batch_iter:
+        if "video_y" in batch:
+            batch = dict(batch)
+            batch["video"] = yuv420_to_rgb_batch(
+                batch.pop("video_y"), batch.pop("video_uv")
+            )
+        if (
+            "audio_pcm" in batch
+            and batch["audio_pcm"].dtype == jnp.int16
+        ):
+            batch = dict(batch)
+            batch["audio_pcm"] = jax.jit(
+                lambda x: x.astype(jnp.float32)
+            )(batch["audio_pcm"])
+        yield batch

@@ -36,21 +36,54 @@ from selavi_tpu.data.transforms import random_crop
 MAGIC = b"SLVPACK1"
 
 
+def rgb_to_yuv420(video_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """[T,H,W,3] uint8 RGB -> (y [T,H,W], uv [T,H/2,W/2,2]) uint8, BT.601
+    full-range with 2x2-mean chroma subsampling (H, W must be even)."""
+    t, h, w, _ = video_u8.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    f = video_u8.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    uv = np.stack([u, v], axis=-1)
+    uv = uv.reshape(t, h // 2, 2, w // 2, 2, 2).mean(axis=(2, 4))
+    to_u8 = lambda x: np.clip(np.round(x), 0, 255).astype(np.uint8)
+    return to_u8(y), to_u8(uv)
+
+
+def _video_bytes_for(video_shape, video_format: str) -> int:
+    full = int(np.prod(video_shape))
+    if video_format == "yuv420":
+        return full // 2  # y (1/3 of rgb bytes x3=1) + uv (1/2 of a plane)
+    return full
+
+
 def write_packed_shard(
     dataset,
     path: str,
     num_samples: Optional[int] = None,
     seed: int = 0,
     pcm_slack_sec: float = 0.5,
+    video_format: str = "rgb",  # 'rgb' | 'yuv420' (half the bytes)
+    pcm_dtype: str = "float32",  # 'float32' | 'int16' (quarter the bytes)
 ) -> dict:
     """Iterate ``dataset`` once (PCM mode preferred) and write the shard.
 
     The dataset must yield fixed-shape examples; video is stored exactly as
     produced (use a pre-crop dataset configuration — e.g. center_crop=False
     with the crop applied later — to keep crop freshness).
+
+    Wire-efficiency options (both also shrink host RAM cache footprint and
+    host->device transfer, the dominant cost on bandwidth-limited links):
+    ``video_format='yuv420'`` stores planar YUV 4:2:0 (1.5 B/px; converted
+    back to RGB on device by ``ops.preprocess.yuv420_to_rgb_batch``);
+    ``pcm_dtype='int16'`` stores waveforms at their native decode width
+    (the reference decodes s16 PCM anyway, audio_utils.py:89-98).
     """
+    assert video_format in ("rgb", "yuv420"), video_format
+    assert pcm_dtype in ("float32", "int16"), pcm_dtype
     n = num_samples or len(dataset)
-    rng = np.random.default_rng(seed)
     ex0 = dataset.get_example(0, np.random.default_rng((seed, 0)))
     video_shape = ex0["video"].shape
     if "audio_pcm" in ex0:
@@ -63,9 +96,15 @@ def write_packed_shard(
         "video_shape": list(video_shape),
         "pcm_len": pcm_len,
         "seed": seed,
+        "video_format": video_format,
+        "pcm_dtype": pcm_dtype,
     }
-    video_bytes = int(np.prod(video_shape))
-    rec_bytes = video_bytes + pcm_len * 4 + 4  # + int32 label
+    pcm_itemsize = 2 if pcm_dtype == "int16" else 4
+    rec_bytes = (
+        _video_bytes_for(video_shape, video_format)
+        + pcm_len * pcm_itemsize
+        + 4  # int32 label
+    )
 
     with open(path, "wb") as f:
         f.write(MAGIC)
@@ -77,11 +116,23 @@ def write_packed_shard(
             assert ex["video"].shape == video_shape, (
                 i, ex["video"].shape, video_shape
             )
-            f.write(np.ascontiguousarray(ex["video"], np.uint8).tobytes())
+            video = np.ascontiguousarray(ex["video"], np.uint8)
+            if video_format == "yuv420":
+                y, uv = rgb_to_yuv420(video)
+                f.write(y.tobytes())
+                f.write(np.ascontiguousarray(uv).tobytes())
+            else:
+                f.write(video.tobytes())
             if pcm_len:
-                pcm = np.ascontiguousarray(ex["audio_pcm"], np.float32)
+                pcm = np.asarray(ex["audio_pcm"])
                 assert len(pcm) == pcm_len, (i, len(pcm), pcm_len)
-                f.write(pcm.tobytes())
+                if pcm_dtype == "int16":
+                    pcm = np.clip(
+                        np.round(pcm.astype(np.float64)), -32768, 32767
+                    ).astype(np.int16)
+                else:
+                    pcm = pcm.astype(np.float32)
+                f.write(np.ascontiguousarray(pcm).tobytes())
             f.write(struct.pack("<i", int(ex["label"])))
     meta["rec_bytes"] = rec_bytes
     return meta
@@ -116,8 +167,14 @@ class PackedAVDataset:
         )
         self.video_shape = tuple(self.meta["video_shape"])
         self.pcm_len = self.meta["pcm_len"]
-        self._video_bytes = int(np.prod(self.video_shape))
-        self._rec_bytes = self._video_bytes + self.pcm_len * 4 + 4
+        self.video_format = self.meta.get("video_format", "rgb")
+        self.pcm_dtype = np.dtype(self.meta.get("pcm_dtype", "float32"))
+        self._video_bytes = _video_bytes_for(
+            self.video_shape, self.video_format
+        )
+        self._rec_bytes = (
+            self._video_bytes + self.pcm_len * self.pcm_dtype.itemsize + 4
+        )
         self.n = self.meta["n"]
         self.crop_size = crop_size
         self.mode = mode
@@ -134,7 +191,11 @@ class PackedAVDataset:
         return self._data_off + i * self._rec_bytes
 
     def _read_label(self, i: int) -> int:
-        off = self._rec(i) + self._video_bytes + self.pcm_len * 4
+        off = (
+            self._rec(i)
+            + self._video_bytes
+            + self.pcm_len * self.pcm_dtype.itemsize
+        )
         return struct.unpack("<i", self._mm[off : off + 4])[0]
 
     def __len__(self):
@@ -148,27 +209,50 @@ class PackedAVDataset:
         if rng is None:
             rng = np.random.default_rng(idx)
         off = self._rec(idx)
-        video = np.frombuffer(
-            self._mm, np.uint8, self._video_bytes, off
-        ).reshape(self.video_shape)
-        if self.crop_size and self.crop_size < self.video_shape[1]:
-            if self.mode == "train":
-                video = random_crop(video, self.crop_size, rng)
-            else:
-                from selavi_tpu.data.transforms import center_crop
-
-                video = center_crop(video, self.crop_size)
-        video = np.ascontiguousarray(video)
-
         out = {
-            "video": video,
             "label": int(self._labels[idx]),
             "index": idx,
             "vid_idx": idx,
         }
+        t, h, w, _ = self.video_shape
+        if self.video_format == "yuv420":
+            y = np.frombuffer(self._mm, np.uint8, t * h * w, off).reshape(
+                t, h, w
+            )
+            uv = np.frombuffer(
+                self._mm, np.uint8, t * (h // 2) * (w // 2) * 2,
+                off + t * h * w,
+            ).reshape(t, h // 2, w // 2, 2)
+            c = self.crop_size
+            if c and c < h:
+                # even-aligned paired crop so chroma stays in register
+                if self.mode == "train":
+                    i0 = 2 * int(rng.integers(0, (h - c) // 2 + 1))
+                    j0 = 2 * int(rng.integers(0, (w - c) // 2 + 1))
+                else:
+                    i0 = ((h - c) // 2) // 2 * 2
+                    j0 = ((w - c) // 2) // 2 * 2
+                y = y[:, i0 : i0 + c, j0 : j0 + c]
+                uv = uv[:, i0 // 2 : (i0 + c) // 2,
+                        j0 // 2 : (j0 + c) // 2]
+            out["video_y"] = np.ascontiguousarray(y)
+            out["video_uv"] = np.ascontiguousarray(uv)
+        else:
+            video = np.frombuffer(
+                self._mm, np.uint8, self._video_bytes, off
+            ).reshape(self.video_shape)
+            if self.crop_size and self.crop_size < h:
+                if self.mode == "train":
+                    video = random_crop(video, self.crop_size, rng)
+                else:
+                    from selavi_tpu.data.transforms import center_crop
+
+                    video = center_crop(video, self.crop_size)
+            out["video"] = np.ascontiguousarray(video)
         if self.pcm_len:
             pcm = np.frombuffer(
-                self._mm, np.float32, self.pcm_len, off + self._video_bytes
+                self._mm, self.pcm_dtype, self.pcm_len,
+                off + self._video_bytes,
             )
             if self.num_sec and self.sample_rate:
                 want = self.num_sec * self.sample_rate

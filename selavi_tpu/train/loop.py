@@ -16,7 +16,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from selavi_tpu.data.loader import DataLoader, device_prefetch
+from selavi_tpu.data.loader import (
+    DataLoader,
+    decode_wire_batches,
+    device_prefetch,
+)
 from selavi_tpu.models import load_model
 from selavi_tpu.parallel.dist import signal_received
 from selavi_tpu.parallel.mesh import (
@@ -104,7 +108,10 @@ class Trainer:
         rng = jax.random.PRNGKey(args.seed)
         self.np_rng = np.random.default_rng(args.seed)
         example = dataset.get_example(0, np.random.default_rng(0))
-        video_shape = (2,) + example["video"].shape
+        if "video" in example:
+            video_shape = (2,) + example["video"].shape
+        else:  # YUV 4:2:0 wire format: RGB is reconstructed on device
+            video_shape = (2,) + example["video_y"].shape + (3,)
         if "audio" in example:
             audio_shape = (2,) + example["audio"].shape + (1,)
         else:
@@ -214,12 +221,12 @@ class Trainer:
         self.state = self.state.replace(batch_stats=bs)
 
     def _device_batches(self):
-        return device_prefetch(
+        return decode_wire_batches(device_prefetch(
             iter(self.loader),
             sharding=self.data_sharding,
             depth=getattr(self.args, "prefetch", 2),
             mesh=self.mesh if jax.process_count() > 1 else None,
-        )
+        ))
 
     def _make_eval_iter(self):
         """Fresh sequential full-dataset iterator for SK aggregation. Each
@@ -240,12 +247,12 @@ class Trainer:
             rank=jax.process_index(),
             world_size=n_proc,
         )
-        return device_prefetch(
+        return decode_wire_batches(device_prefetch(
             iter(eval_loader),
             sharding=self.data_sharding,
             depth=2,
             mesh=self.mesh if n_proc > 1 else None,
-        )
+        ))
 
     def maybe_cluster(self, iteration: int) -> bool:
         """Run SK if the schedule says so (reference main.py:272-281)."""
