@@ -18,12 +18,15 @@ Run (default env, ONE process): python experiments/relay_pipeline.py
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
 def main():
+    pack_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/synth_paper.pack"
+    e2e_only = "--e2e-only" in sys.argv
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -42,6 +45,11 @@ def main():
     from selavi_tpu.train.state import create_train_state
     from selavi_tpu.train.step import make_train_step
 
+    from selavi_tpu.data.loader import (
+        coalesced_device_batches,
+        decode_wire_batches,
+    )
+
     results = {}
     mesh = make_mesh()
     dsh, rep = data_sharding(mesh), replicated_sharding(mesh)
@@ -53,7 +61,7 @@ def main():
 
     # ---- 1. raw H2D bandwidth --------------------------------------
     sum1 = jax.jit(lambda x: x.astype(jnp.float32).sum())
-    for mb in (1, 4, 18, 72):
+    for mb in () if e2e_only else (1, 4, 18, 72):
         arr = np.random.randint(0, 255, (mb * 1024 * 1024,), np.uint8)
         x = jax.device_put(jnp.asarray(arr), dsh)
         float(sum1(x))  # warm
@@ -93,6 +101,8 @@ def main():
             state, m = step(state, batch_dev, labels, rng)
         float(m["loss"])
 
+    if not e2e_only:
+      with mesh:
         # compute alone
         t0 = time.perf_counter()
         for _ in range(10):
@@ -130,13 +140,21 @@ def main():
         )
 
     # ---- 3. end-to-end over a packed shard ---------------------------
-    ds = PackedAVDataset("/tmp/synth_paper.pack", crop_size=112,
+    ds = PackedAVDataset(pack_path, crop_size=112,
                          num_sec=1, sample_rate=24000)
-    for workers, depth in ((8, 2), (8, 4), (8, 8)):
+    for coalesce in (False, True):
+      for workers, depth in ((8, 2), (8, 4), (8, 8)):
         loader = DataLoader(ds, batch_size=bs, shuffle=True,
                             drop_last=True, num_workers=workers, seed=1)
         loader.set_epoch(depth)  # vary content across configs
-        it = device_prefetch(iter(loader), sharding=dsh, depth=depth)
+        if coalesce:
+            it = decode_wire_batches(coalesced_device_batches(
+                iter(loader), sharding=dsh, depth=depth
+            ))
+        else:
+            it = decode_wire_batches(
+                device_prefetch(iter(loader), sharding=dsh, depth=depth)
+            )
         with mesh:
             n_clips = 0
             t0 = time.perf_counter()
@@ -146,7 +164,10 @@ def main():
                 n_clips += int(b["video"].shape[0])
             float(m["loss"])
             dt = time.perf_counter() - t0
-        results[f"e2e_w{workers}_d{depth}_clips_s"] = round(n_clips / dt, 1)
+        tag = "co_" if coalesce else ""
+        results[f"e2e_{tag}w{workers}_d{depth}_clips_s"] = round(
+            n_clips / dt, 1
+        )
 
     print(json.dumps(results, indent=1))
 

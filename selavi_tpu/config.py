@@ -160,8 +160,10 @@ def parse_arguments() -> argparse.ArgumentParser:
                         help="mesh model-axis size (data axis = n/model)")
     parser.add_argument("--bn_warmup_batches", type=int, default=20,
                         help="BN running-stat warmup batches before epoch 0")
-    parser.add_argument("--prefetch", type=int, default=2,
-                        help="host->device prefetch depth")
+    parser.add_argument("--prefetch", type=int, default=4,
+                        help="host->device prefetch depth (4 measured 1.7x "
+                             "end-to-end vs 2 on a bandwidth-limited link; "
+                             "flat beyond 4 - see BASELINE.md r2)")
     parser.add_argument("--tpu_aligned_midplanes", type="bool",
                         default="False",
                         help="round (2+1)D midplane widths to multiples of "
@@ -179,6 +181,10 @@ def parse_arguments() -> argparse.ArgumentParser:
     parser.add_argument("--trace_profile", type="bool", default="False",
                         help="capture a jax.profiler trace of epoch 0 "
                              "into {dump_path}/profile")
+    parser.add_argument("--coalesce_transfers", type="bool", default="True",
+                        help="pack each batch into one [B, rec_bytes] uint8 "
+                             "buffer = ONE H2D transfer per step (bit-exact; "
+                             "1.9x end-to-end on latency-limited links)")
     parser.add_argument("--sk_augment", type="bool", default="True",
                         help="apply fresh device augmentations (hflip + "
                              "optional colorjitter/grayscale) during SK "

@@ -296,6 +296,106 @@ def device_prefetch(
         yield queue.popleft()
 
 
+class BatchCoalescer:
+    """Pack a whole batch into ONE ``[B, rec_bytes]`` uint8 buffer.
+
+    On links with high per-transfer latency (the dev relay: ~50 ms
+    round-trip regardless of size; real DCN links have the same shape),
+    a batch of 6 small device_puts is latency-bound. Coalescing makes it
+    one put; the device side slices static byte columns and bitcasts back
+    (reshape/bitcast are free — the row layout keeps the batch axis
+    leading, so the buffer shards over 'data' exactly like its fields).
+    """
+
+    def __init__(self):
+        self._fields = None  # [(key, dtype, trailing_shape, off, nbytes)]
+        self._rec_bytes = 0
+
+    def _plan(self, batch: dict):
+        fields, off = [], 0
+        for key in sorted(batch):
+            a = batch[key]
+            nbytes = int(np.prod(a.shape[1:])) * a.dtype.itemsize
+            fields.append((key, a.dtype, a.shape[1:], off, nbytes))
+            off += nbytes
+        self._fields, self._rec_bytes = fields, off
+
+    def pack(self, batch: dict) -> np.ndarray:
+        if self._fields is None:
+            self._plan(batch)
+        b = next(iter(batch.values())).shape[0]
+        buf = np.empty((b, self._rec_bytes), np.uint8)
+        for key, dtype, _, off, nbytes in self._fields:
+            buf[:, off : off + nbytes] = (
+                np.ascontiguousarray(batch[key])
+                .view(np.uint8)
+                .reshape(b, nbytes)
+            )
+        return buf
+
+    def unpack_fn(self):
+        """Jittable ``buf [B, rec_bytes] -> dict`` (slices are static)."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        fields = self._fields
+
+        def unpack(buf):
+            out = {}
+            for key, dtype, shape, off, nbytes in fields:
+                col = buf[:, off : off + nbytes]
+                if dtype == np.uint8:
+                    arr = col.reshape((col.shape[0],) + shape)
+                else:
+                    w = dtype.itemsize
+                    arr = lax.bitcast_convert_type(
+                        col.reshape(col.shape[0], nbytes // w, w),
+                        jnp.dtype(dtype),
+                    ).reshape((col.shape[0],) + shape)
+                out[key] = arr
+            return out
+
+        return unpack
+
+
+def coalesced_device_batches(
+    batch_iter: Iterator[dict], sharding=None, depth: int = 2, mesh=None
+) -> Iterator[dict]:
+    """device_prefetch variant with one H2D transfer per batch.
+
+    Measured on the bandwidth/latency-limited dev relay: 92.6 clips/s
+    end-to-end vs ~50 for per-field puts (YUV shard, depth 4) — the single
+    put saturates link bandwidth instead of paying per-field round trips.
+    With ``mesh`` given, the packed buffer is assembled from per-process
+    shards like global_batch_from_local.
+    """
+    import jax
+
+    co = BatchCoalescer()
+    unpack = None
+    queue: collections.deque = collections.deque()
+
+    def put(b):
+        buf = co.pack(b)
+        if mesh is not None and jax.process_count() > 1:
+            from selavi_tpu.parallel.mesh import data_sharding
+
+            return jax.make_array_from_process_local_data(
+                data_sharding(mesh), buf
+            )
+        return jax.device_put(buf, sharding)
+
+    for batch in batch_iter:
+        if unpack is None:
+            co._plan(batch)
+            unpack = jax.jit(co.unpack_fn())
+        queue.append(put(batch))
+        if len(queue) >= depth:
+            yield unpack(queue.popleft())
+    while queue:
+        yield unpack(queue.popleft())
+
+
 def decode_wire_batches(batch_iter: Iterator[dict]) -> Iterator[dict]:
     """Expand wire-efficient batch encodings on device.
 

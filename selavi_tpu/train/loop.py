@@ -18,6 +18,7 @@ import numpy as np
 
 from selavi_tpu.data.loader import (
     DataLoader,
+    coalesced_device_batches,
     decode_wire_batches,
     device_prefetch,
 )
@@ -132,7 +133,14 @@ class Trainer:
             self.state = create_train_state(
                 self.model, self.tx, rng, video_shape, audio_shape
             )
-        self.state = jax.device_put(self.state, self.replicated)
+        # params/opt-state shardings: head stacks over the 'model' axis
+        # (independent heads = expert axis), everything else replicated
+        from selavi_tpu.parallel.mesh import state_shardings
+
+        self.state_shardings = state_shardings(
+            self.mesh, self.state, args.headcount
+        )
+        self.state = jax.device_put(self.state, self.state_shardings)
         self.sl_state = SelfLabelState.init(n, args.headcount)
 
         self.train_step = make_train_step(
@@ -192,6 +200,8 @@ class Trainer:
         self.state, self.sl_state, start_epoch = restore_checkpoint(
             self.args.dump_path, self.state, self.sl_state
         )
+        # restored leaves are host arrays; re-commit to the mesh layout
+        self.state = jax.device_put(self.state, self.state_shardings)
         if start_epoch != 0:
             self.sk_schedule, done = fast_forward_schedule(
                 self.sk_schedule, self.batches_per_epoch, start_epoch
@@ -221,12 +231,19 @@ class Trainer:
         self.state = self.state.replace(batch_stats=bs)
 
     def _device_batches(self):
-        return decode_wire_batches(device_prefetch(
-            iter(self.loader),
-            sharding=self.data_sharding,
-            depth=getattr(self.args, "prefetch", 2),
-            mesh=self.mesh if jax.process_count() > 1 else None,
+        return decode_wire_batches(self._prefetch(
+            iter(self.loader), depth=getattr(self.args, "prefetch", 4),
         ))
+
+    def _prefetch(self, it, depth):
+        mesh = self.mesh if jax.process_count() > 1 else None
+        if getattr(self.args, "coalesce_transfers", True):
+            return coalesced_device_batches(
+                it, sharding=self.data_sharding, depth=depth, mesh=mesh,
+            )
+        return device_prefetch(
+            it, sharding=self.data_sharding, depth=depth, mesh=mesh,
+        )
 
     def _make_eval_iter(self):
         """Fresh sequential full-dataset iterator for SK aggregation. Each
@@ -247,12 +264,9 @@ class Trainer:
             rank=jax.process_index(),
             world_size=n_proc,
         )
-        return decode_wire_batches(device_prefetch(
-            iter(eval_loader),
-            sharding=self.data_sharding,
-            depth=2,
-            mesh=self.mesh if n_proc > 1 else None,
-        ))
+        return decode_wire_batches(
+            self._prefetch(iter(eval_loader), depth=2)
+        )
 
     def maybe_cluster(self, iteration: int) -> bool:
         """Run SK if the schedule says so (reference main.py:272-281)."""
@@ -293,7 +307,9 @@ class Trainer:
             feature_sharding=self.data_sharding,
         )
         if "params" in info:  # modality alignment permuted audio heads
-            params = jax.device_put(info["params"], self.replicated)
+            params = jax.device_put(
+                info["params"], self.state_shardings.params
+            )
             self.state = self.state.replace(params=params)
         self.sl_state.selflabels = labels
         self.sl_state.marginals = marginals

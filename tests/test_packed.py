@@ -201,3 +201,35 @@ def test_trainer_runs_on_yuv420_int16_shard(tmp_path):
     history = trainer.fit()
     losses = [h["loss"] for h in history if "loss" in h]
     assert losses and np.isfinite(losses).all()
+
+
+def test_coalesced_batches_match_plain_prefetch(tmp_path):
+    """One-transfer-per-batch coalescing is bit-exact vs per-field puts."""
+    from selavi_tpu.data.loader import (
+        DataLoader,
+        coalesced_device_batches,
+        decode_wire_batches,
+        device_prefetch,
+    )
+    from selavi_tpu.data.packed import PackedAVDataset, write_packed_shard
+    from selavi_tpu.data.synthetic import SyntheticAVDataset
+
+    src = SyntheticAVDataset(
+        num_samples=6, num_frames=2, crop_size=32, aud_sample_rate=16000,
+        return_pcm=True,
+    )
+    p = str(tmp_path / "co.pack")
+    write_packed_shard(src, p, video_format="yuv420", pcm_dtype="int16")
+    ds = PackedAVDataset(p, num_sec=1, sample_rate=16000)
+
+    loader = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False)
+    plain = list(decode_wire_batches(device_prefetch(iter(loader))))
+    loader2 = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False)
+    co = list(
+        decode_wire_batches(coalesced_device_batches(iter(loader2)))
+    )
+    assert len(plain) == len(co)
+    for a, b in zip(plain, co):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
