@@ -308,12 +308,14 @@ def cluster_entropy_purity(pred: np.ndarray, truth: np.ndarray):
 def _apply_audio_perm(params: dict, head: int, perm: np.ndarray) -> dict:
     """Permute the final Dense of audio head ``head`` inside the vmapped
     head-stack params (leading head axis)."""
-    import copy
+    from selavi_tpu.parallel.mesh import fetch_to_host
 
-    params = copy.deepcopy(jax.device_get(params))
+    # params may be sharded (head stacks over 'model', possibly across
+    # hosts) — gather every leaf to host rather than raw device_get
+    params = jax.tree.map(fetch_to_host, params)
     proj = params["heads_a"]["heads"]["proj"]
-    kernel = np.asarray(proj["kernel"])
-    bias = np.asarray(proj["bias"])
+    kernel = np.array(proj["kernel"])  # np.asarray views are read-only
+    bias = np.array(proj["bias"])
     kernel[head] = kernel[head][:, perm]
     bias[head] = bias[head][perm]
     proj["kernel"] = kernel

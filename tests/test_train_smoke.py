@@ -119,3 +119,30 @@ def test_batch_sharded_over_mesh(trained):
         d.device for d in batch["video"].addressable_shards
     }
     assert len(shard_counts) == trainer.mesh.devices.size
+
+
+def test_model_axis_head_sharding(tmp_path):
+    """2D ('data','model') mesh: head stacks shard over the model axis
+    (independent heads = expert axis), tower stays replicated, training
+    and SK still run."""
+    import jax
+
+    args = make_args(tmp_path, model_axis=2, headcount=2, epochs=1)
+    dataset = make_dataset(args)
+    trainer = Trainer(args, dataset)
+    assert dict(zip(trainer.mesh.axis_names, trainer.mesh.devices.shape)) \
+        == {"data": 4, "model": 2}
+
+    proj = trainer.state.params["heads_v"]["heads"]["proj"]["kernel"]
+    assert proj.shape[0] == 2  # [H, ...]
+    # sharded over 'model': each shard holds 1 head
+    shard_shapes = {s.data.shape for s in proj.addressable_shards}
+    assert shard_shapes == {(1,) + proj.shape[1:]}
+    # tower params replicated: every shard is the full array
+    stem = trainer.state.params["video_network"]["stem_spatial"]["conv"]["kernel"]
+    assert {s.data.shape for s in stem.addressable_shards} == {stem.shape}
+
+    history = trainer.fit()
+    losses = [h["loss"] for h in history if "loss" in h]
+    assert losses and np.isfinite(losses).all()
+    assert trainer.sl_state.sk_counter >= 1
