@@ -373,9 +373,14 @@ class AVideoDataset:
         }
         if self.decode_audio and specs:
             if self.return_pcm:
-                out["audio_pcm"] = np.concatenate(
-                    [np.atleast_1d(s) for s in specs]
-                ).astype(np.float32)
+                # single clip: [S]; dual_data: [2, S] — the device frontend
+                # turns clip rows into spectrogram channels, matching the
+                # reference's channel-stacked dual specs
+                # (AVideoDataset.py:451)
+                pcm = [np.atleast_1d(s).astype(np.float32) for s in specs]
+                out["audio_pcm"] = (
+                    pcm[0] if num_clips == 1 else np.stack(pcm)
+                )
             elif num_clips == 1:
                 out["audio"] = specs[0][0]  # [F, T]
             else:

@@ -26,17 +26,30 @@ def prepare_audio(audio, compute_dtype, audio_cfg=None):
     """Spec [B,F,T,1] passes through; raw PCM [B,S] is turned into
     spectrograms on device (fused gather+FFT+mel kernel, ops/logmel.py) —
     the TPU-native audio frontend (host ships 1s of PCM instead of a
-    computed spectrogram)."""
-    if audio.ndim == 2:  # [B, S] raw PCM
+    computed spectrogram). dual_data PCM [B,2,S] becomes a 2-channel
+    spectrogram [B,F,T,2] (the reference stacks dual specs along the
+    channel axis, AVideoDataset.py:451)."""
+    if audio.ndim in (2, 3) and (
+        audio.ndim == 2 or audio.shape[1] <= 4
+    ):  # [B, S] or [B, n_clips, S] raw PCM
         from selavi_tpu.ops.logmel import logfbank_batch
 
         cfg = audio_cfg or {}
+        n_clips = None
+        if audio.ndim == 3:
+            n_clips = audio.shape[1]
+            audio = audio.reshape(audio.shape[0] * n_clips, audio.shape[2])
         spec = logfbank_batch(
-            audio,
+            audio.astype(jnp.float32),
             samplerate=cfg.get("samplerate", 48000),
             nfilt=cfg.get("nfilt", 257),
             z_normalize=cfg.get("z_normalize", False),
         )
+        if n_clips is not None:
+            b = spec.shape[0] // n_clips
+            spec = spec.reshape(b, n_clips, *spec.shape[1:])
+            spec = jnp.moveaxis(spec, 1, -1)  # [B, F, T, n_clips]
+            return spec.astype(compute_dtype)
         return spec[..., None].astype(compute_dtype)
     return audio.astype(compute_dtype)
 

@@ -88,3 +88,21 @@ def test_slice_clip_pcm_matches_get_spec_window():
     # end-of-file clamping matches get_spec
     clip_end = slice_clip_pcm(wav, 10.0, num_sec=1, sample_rate=16000)
     np.testing.assert_allclose(clip_end, wav[-16000:].astype(np.float32))
+
+
+def test_prepare_audio_dual_pcm_two_channel_spec():
+    """dual_data PCM [B,2,S] -> [B,F,T,2], channels matching per-clip
+    single-spec computation (reference stacks dual specs on the channel
+    axis, AVideoDataset.py:451)."""
+    rng = np.random.default_rng(3)
+    pcm = (rng.standard_normal((2, 2, 16000)) * 8000).astype(np.float32)
+    cfg = {"samplerate": 16000, "nfilt": 40, "z_normalize": False}
+    dual = np.asarray(prepare_audio(jnp.asarray(pcm), jnp.float32, cfg))
+    assert dual.shape[0] == 2 and dual.shape[-1] == 2
+    for c in range(2):
+        single = np.asarray(
+            prepare_audio(jnp.asarray(pcm[:, c]), jnp.float32, cfg)
+        )
+        np.testing.assert_allclose(
+            dual[..., c], single[..., 0], rtol=1e-5, atol=1e-5
+        )
