@@ -181,6 +181,11 @@ def parse_arguments() -> argparse.ArgumentParser:
     parser.add_argument("--trace_profile", type="bool", default="False",
                         help="capture a jax.profiler trace of epoch 0 "
                              "into {dump_path}/profile")
+    parser.add_argument("--async_checkpoint", type="bool", default="True",
+                        help="serialize + write checkpoints on a background "
+                             "thread (the step loop continues immediately); "
+                             "writes are still atomic and flushed before "
+                             "exit/preemption")
     parser.add_argument("--coalesce_transfers", type="bool", default="True",
                         help="pack each batch into one [B, rec_bytes] uint8 "
                              "buffer = ONE H2D transfer per step (bit-exact; "

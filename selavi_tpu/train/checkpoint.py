@@ -18,6 +18,7 @@ import logging
 import os
 import pickle
 import shutil
+import threading
 from typing import Optional
 
 import jax
@@ -31,6 +32,18 @@ logger = logging.getLogger(__name__)
 
 CKPT_NAME = "checkpoint.msgpack"
 
+_pending_lock = threading.Lock()
+_pending_write: Optional[threading.Thread] = None
+
+
+def wait_for_pending_checkpoint():
+    """Join any in-flight async checkpoint write. Call before process exit
+    (preemption) and before reading a just-written checkpoint."""
+    with _pending_lock:
+        t = _pending_write
+    if t is not None:
+        t.join()
+
 
 def save_checkpoint(
     dump_path: str,
@@ -40,36 +53,67 @@ def save_checkpoint(
     checkpoint_freq: int = 5,
     total_epochs: Optional[int] = None,
     dump_checkpoints: Optional[str] = None,
+    async_write: bool = False,
 ):
-    if jax.process_index() != 0:
-        return
+    """Write the checkpoint; rank 0 does the IO.
+
+    The device->host fetch is a COLLECTIVE when state is sharded across
+    hosts (head stacks over 'model' on a multi-host mesh), so every
+    process enters; only process 0 serializes and writes. With
+    ``async_write`` the serialization + disk write happen on a background
+    thread over the host snapshot (the step loop continues immediately —
+    at scale a few-hundred-MB synchronous save per epoch stalls every
+    chip); at most one write is in flight, and the published file is
+    still atomically replaced.
+    """
+    from selavi_tpu.parallel.mesh import fetch_to_host
+
+    global _pending_write
     device_state = {
         "step": state.step,
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
     }
-    payload = {
-        "device": serialization.to_bytes(jax.device_get(device_state)),
+    host_state = jax.tree.map(fetch_to_host, device_state)  # all processes
+    if jax.process_index() != 0:
+        return
+    host_sl = {
         "epoch": epoch + 1,
-        "selflabels": np.asarray(sl_state.selflabels),
+        "selflabels": np.asarray(sl_state.selflabels).copy(),
         "dist": sl_state.marginals.to_dict(),
         "sk_counter": sl_state.sk_counter,
     }
-    os.makedirs(dump_path, exist_ok=True)
-    path = os.path.join(dump_path, CKPT_NAME)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(payload, f)
-    os.replace(tmp, path)
 
-    if dump_checkpoints and (
-        epoch % checkpoint_freq == 0
-        or (total_epochs is not None and epoch == total_epochs - 1)
-    ):
-        shutil.copyfile(
-            path, os.path.join(dump_checkpoints, f"ckp-{epoch}.msgpack")
+    def _write():
+        payload = dict(
+            host_sl, device=serialization.to_bytes(host_state)
         )
+        os.makedirs(dump_path, exist_ok=True)
+        path = os.path.join(dump_path, CKPT_NAME)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f)
+        os.replace(tmp, path)
+        if dump_checkpoints and (
+            epoch % checkpoint_freq == 0
+            or (total_epochs is not None and epoch == total_epochs - 1)
+        ):
+            shutil.copyfile(
+                path,
+                os.path.join(dump_checkpoints, f"ckp-{epoch}.msgpack"),
+            )
+
+    wait_for_pending_checkpoint()  # at most one write in flight
+    if async_write:
+        t = threading.Thread(
+            target=_write, daemon=True, name=f"ckpt-write-ep{epoch}"
+        )
+        with _pending_lock:
+            _pending_write = t
+        t.start()
+    else:
+        _write()
 
 
 def restore_checkpoint(
@@ -77,6 +121,7 @@ def restore_checkpoint(
 ) -> tuple[TrainState, SelfLabelState, int]:
     """Restore in place of the fresh (target-structured) state. Returns
     (state, sl_state, start_epoch); untouched when no checkpoint exists."""
+    wait_for_pending_checkpoint()
     path = (
         dump_path
         if dump_path.endswith(".msgpack")

@@ -378,6 +378,11 @@ class Trainer:
                     )
             if signal_received():
                 self.checkpoint(epoch)
+                from selavi_tpu.train.checkpoint import (
+                    wait_for_pending_checkpoint,
+                )
+
+                wait_for_pending_checkpoint()  # flush before exiting
                 logger.warning("preemption checkpoint written; exiting")
                 raise SystemExit(0)
         # final sync so the returned epoch loss reflects the last step
@@ -394,6 +399,7 @@ class Trainer:
             checkpoint_freq=getattr(self.args, "checkpoint_freq", 5),
             total_epochs=self.args.epochs,
             dump_checkpoints=getattr(self.args, "dump_checkpoints", None),
+            async_write=getattr(self.args, "async_checkpoint", True),
         )
 
     def fit(self) -> list[dict]:
@@ -412,4 +418,7 @@ class Trainer:
                 avg_loss = self.train_epoch(epoch)
             self.checkpoint(epoch)
             self._history.append({"epoch": epoch, "loss": avg_loss})
+        from selavi_tpu.train.checkpoint import wait_for_pending_checkpoint
+
+        wait_for_pending_checkpoint()  # flush the final async write
         return self._history

@@ -146,3 +146,45 @@ def test_model_axis_head_sharding(tmp_path):
     losses = [h["loss"] for h in history if "loss" in h]
     assert losses and np.isfinite(losses).all()
     assert trainer.sl_state.sk_counter >= 1
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """Async background checkpoint write produces a resumable file,
+    flushed by wait_for_pending_checkpoint / restore."""
+    import jax
+
+    from selavi_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from selavi_tpu.train.optim import make_optimizer
+    from selavi_tpu.train.state import (
+        SelfLabelState,
+        create_train_state,
+    )
+    from selavi_tpu.models import load_model
+
+    model = load_model(headcount=2, num_classes=4)
+    tx = make_optimizer(0.01, 0.0)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0), (2, 2, 32, 32, 3),
+        (2, 40, 51, 1),
+    )
+    sl = SelfLabelState.init(8, 2)
+    sl.selflabels[:] = 3
+    sl.sk_counter = 7
+    save_checkpoint(str(tmp_path), state, sl, epoch=1, async_write=True)
+
+    state2 = create_train_state(
+        model, tx, jax.random.PRNGKey(1), (2, 2, 32, 32, 3),
+        (2, 40, 51, 1),
+    )
+    state2, sl2, start = restore_checkpoint(
+        str(tmp_path), state2, SelfLabelState.init(8, 2)
+    )
+    assert start == 2 and sl2.sk_counter == 7
+    np.testing.assert_array_equal(sl2.selflabels, sl.selflabels)
+    a = jax.tree.leaves(jax.device_get(state.params))
+    b = jax.tree.leaves(jax.device_get(state2.params))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
