@@ -396,6 +396,13 @@ def coalesced_device_batches(
         yield unpack(queue.popleft())
 
 
+@jax.jit
+def _pcm_to_f32(x):
+    import jax.numpy as jnp
+
+    return x.astype(jnp.float32)
+
+
 def decode_wire_batches(batch_iter: Iterator[dict]) -> Iterator[dict]:
     """Expand wire-efficient batch encodings on device.
 
@@ -419,7 +426,5 @@ def decode_wire_batches(batch_iter: Iterator[dict]) -> Iterator[dict]:
             and batch["audio_pcm"].dtype == jnp.int16
         ):
             batch = dict(batch)
-            batch["audio_pcm"] = jax.jit(
-                lambda x: x.astype(jnp.float32)
-            )(batch["audio_pcm"])
+            batch["audio_pcm"] = _pcm_to_f32(batch["audio_pcm"])
         yield batch
