@@ -13,7 +13,11 @@ import numpy as np
 
 from selavi_tpu.config import bool_flag
 from selavi_tpu.data.dataset import NUM_CLUSTERS
-from selavi_tpu.data.loader import DataLoader, device_prefetch
+from selavi_tpu.data.loader import (
+    DataLoader,
+    decode_wire_batches,
+    device_prefetch,
+)
 from selavi_tpu.eval.get_clusters import dump_cluster_matrices
 from selavi_tpu.models import load_model
 from selavi_tpu.parallel.mesh import data_sharding, make_mesh
@@ -105,7 +109,9 @@ def main(argv=None):
 
     loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=False,
                         drop_last=False, num_workers=args.workers)
-    batches = device_prefetch(iter(loader), sharding=dsh)
+    batches = decode_wire_batches(
+        device_prefetch(iter(loader), sharding=dsh)
+    )
 
     dump_cluster_matrices(
         lambda v, a: encode(state.params, state.batch_stats, v, a),

@@ -181,6 +181,13 @@ def parse_arguments() -> argparse.ArgumentParser:
     parser.add_argument("--trace_profile", type="bool", default="False",
                         help="capture a jax.profiler trace of epoch 0 "
                              "into {dump_path}/profile")
+    parser.add_argument("--sk_backend", type=str, default="auto",
+                        choices=["auto", "xla", "pallas"],
+                        help="Sinkhorn solver backend (auto = fused Pallas "
+                             "kernel on TPU, XLA elsewhere)")
+    parser.add_argument("--sk_bf16", type="bool", default="False",
+                        help="bf16 storage of the SK matrix (1.6x solver "
+                             "speed, trades label bit-parity; fp32 default)")
     parser.add_argument("--async_checkpoint", type="bool", default="True",
                         help="serialize + write checkpoints on a background "
                              "thread (the step loop continues immediately); "

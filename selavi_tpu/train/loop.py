@@ -184,6 +184,8 @@ class Trainer:
             gauss_sd=args.gauss_sd,
             diff_dist_every=args.diff_dist_every,
             diff_dist_per_head=args.diff_dist_per_head,
+            sk_backend=getattr(args, "sk_backend", "auto"),
+            sk_m_bf16=getattr(args, "sk_bf16", False),
         )
         self.sk_schedule = make_sk_schedule(
             args.epochs,

@@ -134,9 +134,13 @@ def main(argv=None):
             loader = DataLoader(ds, batch_size=args.batch_size,
                                 shuffle=False, drop_last=False,
                                 num_workers=args.workers)
+            from selavi_tpu.data.loader import decode_wire_batches
+
             out = collect_features(
                 encode_fn,
-                device_prefetch(iter(loader), sharding=dsh),
+                decode_wire_batches(
+                    device_prefetch(iter(loader), sharding=dsh)
+                ),
                 audio_encode_fn=audio_encode,
             )
             f, v, l = out[:3]
