@@ -406,7 +406,7 @@ class AVideoDataset:
             raise RuntimeError(f"failed to decode {path}")
         spec = None
         if self.decode_audio:
-            wav = dec.decode_audio_ffmpeg(path, self.aud_sample_rate)
+            wav = dec.decode_audio(path, self.aud_sample_rate)
             if wav is None:
                 raise RuntimeError(f"failed to decode audio of {path}")
             if self.return_pcm:

@@ -6,8 +6,10 @@ Capability parity with /root/reference/datasets/decoder.py:
   test clip positions;
 * ``temporal_sampling`` (:21-38) — linspace frame resampling;
 * selective PyAV decode with PTS-window seeking (:72-111,190-265) — behind
-  an availability gate (PyAV/FFmpeg are optional host deps; this
-  environment has neither, so the synthetic backend drives tests).
+  an availability gate, with ffmpeg-CLI and OpenCV fallbacks (the
+  reference's secondary backend is torchvision, decoder.py:298-350); any
+  one of PyAV / ffmpeg / cv2 gives real-media video decode, and tests use
+  cv2-written fixtures.
 
 Backends return raw frames ``[T, H, W, 3] uint8`` + mono PCM float/int16;
 spatial transforms and spectrograms are applied downstream.
@@ -35,6 +37,15 @@ def have_ffmpeg() -> bool:
     import shutil
 
     return shutil.which("ffmpeg") is not None
+
+
+def have_cv2() -> bool:
+    try:
+        import cv2  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 
 def get_start_end_idx(
@@ -229,6 +240,54 @@ def decode_video_ffmpeg(
     return clip_frames, fps, start_sec
 
 
+def decode_video_cv2(
+    path: str,
+    sampling_rate: int,
+    num_frames: int,
+    clip_idx: int,
+    num_clips: int,
+    target_fps: int = 30,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[Optional[np.ndarray], float, float]:
+    """Clip decode via OpenCV's VideoCapture (bundles its own FFmpeg): the
+    tertiary backend, covering hosts with neither PyAV nor an ffmpeg
+    binary. Same role as the reference's torchvision fallback
+    (decoder.py:298-350). Frame-accurate seek to the clip window; only the
+    window's frames are decoded. Video only — audio decode still needs
+    PyAV/ffmpeg (OpenCV has no audio path)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    try:
+        if not cap.isOpened():
+            return None, 0.0, 0.0
+        fps = float(cap.get(cv2.CAP_PROP_FPS)) or float(target_fps)
+        frames_length = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        if frames_length <= 0:
+            return None, fps, 0.0
+        clip_size = sampling_rate * num_frames / target_fps * fps
+        start_idx, end_idx = get_start_end_idx(
+            frames_length, clip_size, clip_idx, num_clips, rng
+        )
+        first = int(start_idx)
+        last = min(int(math.ceil(end_idx)), frames_length - 1)
+        if first > 0:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, first)
+        frames = []
+        for _ in range(last - first + 1):
+            ret, frame = cap.read()
+            if not ret:
+                break
+            frames.append(frame[:, :, ::-1])  # BGR -> RGB
+        if not frames:
+            return None, fps, clip_seconds(start_idx, fps)
+        arr = np.ascontiguousarray(np.stack(frames))
+    finally:
+        cap.release()
+    clip_frames = temporal_sampling(arr, 0, arr.shape[0] - 1, num_frames)
+    return clip_frames, fps, clip_seconds(start_idx, fps)
+
+
 def decode_video(
     path: str,
     sampling_rate: int,
@@ -238,8 +297,9 @@ def decode_video(
     target_fps: int = 30,
     rng: Optional[np.random.Generator] = None,
 ) -> Tuple[Optional[np.ndarray], float, float]:
-    """Backend dispatcher: selective PyAV decode when available, ffmpeg-CLI
-    fallback otherwise (or when PyAV raises on a corrupt file). Returns
+    """Backend dispatcher: selective PyAV decode when available, then the
+    ffmpeg-CLI fallback, then OpenCV (each also catching what the previous
+    backend raised on corrupt/unreadable input). Returns
     (frames|None, fps, start_sec) — None signals a decode failure the
     caller may tolerate (reference decoder.py:347-384 try/except)."""
     if have_pyav():
@@ -249,12 +309,22 @@ def decode_video(
                 target_fps=target_fps, rng=rng,
             )
         except Exception:
-            pass  # fall through to ffmpeg on corrupt/unreadable input
+            pass  # fall through on corrupt/unreadable input
     if have_ffmpeg():
-        return decode_video_ffmpeg(
+        frames, fps, start = decode_video_ffmpeg(
             path, sampling_rate, num_frames, clip_idx, num_clips,
             target_fps=target_fps, rng=rng,
         )
+        if frames is not None:
+            return frames, fps, start
+    if have_cv2():
+        try:
+            return decode_video_cv2(
+                path, sampling_rate, num_frames, clip_idx, num_clips,
+                target_fps=target_fps, rng=rng,
+            )
+        except Exception:
+            pass
     return None, 0.0, 0.0
 
 
@@ -277,6 +347,46 @@ def decode_audio_ffmpeg(
     except subprocess.CalledProcessError:
         return None
     return np.frombuffer(out, np.int16)
+
+
+def decode_audio_pyav(
+    path: str, sample_rate: int
+) -> Optional[np.ndarray]:
+    """Full-file mono s16 PCM decode via PyAV (libav resampler) — the
+    fallback for hosts with PyAV but no ffmpeg binary. Same output
+    contract as :func:`decode_audio_ffmpeg`."""
+    import av
+
+    try:
+        with av.open(path) as container:
+            if not container.streams.audio:
+                return None
+            resampler = av.AudioResampler(
+                format="s16", layout="mono", rate=sample_rate
+            )
+            chunks = []
+            for frame in container.decode(audio=0):
+                for out in resampler.resample(frame):
+                    chunks.append(out.to_ndarray().reshape(-1))
+            for out in resampler.resample(None):  # flush
+                chunks.append(out.to_ndarray().reshape(-1))
+    except Exception:
+        return None
+    if not chunks:
+        return None
+    return np.concatenate(chunks).astype(np.int16)
+
+
+def decode_audio(path: str, sample_rate: int) -> Optional[np.ndarray]:
+    """Audio backend dispatcher: ffmpeg binary (the reference's own path,
+    audio_utils.py:89-98) first, PyAV otherwise."""
+    if have_ffmpeg():
+        wav = decode_audio_ffmpeg(path, sample_rate)
+        if wav is not None:
+            return wav
+    if have_pyav():
+        return decode_audio_pyav(path, sample_rate)
+    return None
 
 
 def probe_valid(path: str, min_duration: float = 1.1) -> bool:

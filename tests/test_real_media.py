@@ -1,0 +1,123 @@
+"""Real-media video decode over cv2-written mp4 fixtures.
+
+The environment has neither PyAV nor an ffmpeg binary, so these tests
+exercise the OpenCV decode backend (selavi_tpu/data/decoder.py) — the
+tertiary fallback that gives hosts real video decode with no extra deps —
+and the dataset's decode-failure tolerance on genuinely corrupt files
+(reference contract: decoder.py:347-384 try/except + drop-None collate,
+retrieval_utils.py:22-27)."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from selavi_tpu.data import decoder as dec  # noqa: E402
+from selavi_tpu.data.dataset import AVideoDataset  # noqa: E402
+
+W, H, N_FRAMES, FPS = 64, 48, 90, 30.0
+
+
+def _write_mp4(path, shade):
+    writer = cv2.VideoWriter(
+        str(path), cv2.VideoWriter_fourcc(*"mp4v"), FPS, (W, H)
+    )
+    assert writer.isOpened(), "cv2 VideoWriter failed to open"
+    for i in range(N_FRAMES):
+        frame = np.full((H, W, 3), (shade + 2 * i) % 255, np.uint8)
+        frame[:, :, 0] = shade  # class signature in the blue channel
+        writer.write(frame)
+    writer.release()
+
+
+@pytest.fixture(scope="module")
+def media_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("realmedia")
+    for ci, cls in enumerate(("classA", "classB")):
+        d = root / "train" / cls
+        d.mkdir(parents=True)
+        for vi in range(2):
+            _write_mp4(d / f"vid{vi}.mp4", shade=40 + 100 * ci)
+    return root
+
+
+def _make_dataset(root, meta_dir, **kw):
+    kwargs = dict(
+        ds_name="realmedia",
+        root_dir=str(root),
+        mode="train",
+        num_frames=8,
+        train_crop_size=32,
+        decode_audio=False,
+        path_to_data_dir=str(meta_dir),
+        seed=3,
+    )
+    kwargs.update(kw)
+    return AVideoDataset(**kwargs)
+
+
+def test_cv2_backend_decodes_clip(media_root):
+    path = str(media_root / "train" / "classA" / "vid0.mp4")
+    frames, fps, start_sec = dec.decode_video_cv2(
+        path, sampling_rate=1, num_frames=8, clip_idx=-1, num_clips=1,
+        rng=np.random.default_rng(0),
+    )
+    assert frames is not None and frames.shape == (8, H, W, 3)
+    assert frames.dtype == np.uint8
+    assert fps == pytest.approx(FPS)
+    assert 0.0 <= start_sec <= N_FRAMES / FPS
+    # class signature survives decode: writer frames are BGR with the
+    # signature in channel 0, so after the backend's BGR->RGB flip it
+    # lands in channel 2 (lossy codec: wide tolerance)
+    assert abs(int(frames[0, 0, 0, 2]) - 40) < 20
+
+    # uniform test clips hit distinct windows
+    f0, _, s0 = dec.decode_video_cv2(path, 1, 8, 0, 3)
+    f2, _, s2 = dec.decode_video_cv2(path, 1, 8, 2, 3)
+    assert s2 > s0
+    assert not np.array_equal(f0, f2)
+
+
+def test_dispatcher_uses_cv2_here(media_root):
+    assert not dec.have_pyav() and not dec.have_ffmpeg()
+    path = str(media_root / "train" / "classB" / "vid1.mp4")
+    frames, fps, _ = dec.decode_video(
+        path, 1, 4, clip_idx=0, num_clips=1
+    )
+    assert frames is not None and frames.shape == (4, H, W, 3)
+
+
+def test_dataset_real_media_end_to_end(media_root, tmp_path):
+    ds = _make_dataset(media_root, tmp_path / "meta")
+    assert len(ds) == 4
+    assert sorted(set(ds.labels)) == [0, 1]
+    rng = np.random.default_rng(7)
+    ex = ds.get_example(0, rng)
+    assert ex["video"].shape == (8, 32, 32, 3)
+    assert ex["label"] == 0
+    assert "audio" not in ex and "audio_pcm" not in ex
+    ex3 = ds.get_example(3, rng)
+    assert ex3["label"] == 1
+
+
+def test_corrupt_file_is_resampled(media_root, tmp_path):
+    import shutil
+
+    root = tmp_path / "root"
+    shutil.copytree(media_root, root)
+    bad = root / "train" / "classA" / "vid0.mp4"
+    bad.write_bytes(b"\x00" * 4096)  # truncate/destroy the container
+    ds = _make_dataset(root, tmp_path / "meta")
+    # index 0 points at the corrupt file; tolerance must resample another
+    ex = ds.get_example(0, np.random.default_rng(5))
+    assert ex["video"].shape == (8, 32, 32, 3)
+
+
+def test_all_corrupt_raises(tmp_path):
+    d = tmp_path / "root" / "train" / "classA"
+    d.mkdir(parents=True)
+    (d / "vid0.mp4").write_bytes(b"junk")
+    ds = _make_dataset(tmp_path / "root", tmp_path / "meta",
+                       decode_retries=2)
+    with pytest.raises(RuntimeError, match="consecutive decode failures"):
+        ds.get_example(0, np.random.default_rng(0))
