@@ -197,6 +197,12 @@ def parse_arguments() -> argparse.ArgumentParser:
                         help="pack each batch into one [B, rec_bytes] uint8 "
                              "buffer = ONE H2D transfer per step (bit-exact; "
                              "1.9x end-to-end on latency-limited links)")
+    parser.add_argument("--data_echo", type=int, default=1,
+                        help="train this many steps per loaded batch, each "
+                             "with fresh on-device augmentations (data "
+                             "echoing, arXiv:1907.05550) - raises "
+                             "throughput ~xN on input-bound hosts; 1 = "
+                             "reference semantics")
     parser.add_argument("--sk_augment", type="bool", default="True",
                         help="apply fresh device augmentations (hflip + "
                              "optional colorjitter/grayscale) during SK "

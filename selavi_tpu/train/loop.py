@@ -94,7 +94,12 @@ class Trainer:
             world_size=n_proc,
             worker_mode=getattr(args, "worker_mode", "thread"),
         )
-        self.batches_per_epoch = len(self.loader)
+        # data echoing (Choi et al., arXiv:1907.05550): each loaded batch
+        # trains `data_echo` steps, each with fresh on-device
+        # augmentations (flip/jitter/dropout draw from the per-step rng).
+        # Opt-in for input-bound hosts; 1 = reference semantics.
+        self.data_echo = max(1, int(getattr(args, "data_echo", 1) or 1))
+        self.batches_per_epoch = len(self.loader) * self.data_echo
         n = len(dataset)
 
         self.tx = make_optimizer(
@@ -233,9 +238,12 @@ class Trainer:
         self.state = self.state.replace(batch_stats=bs)
 
     def _device_batches(self):
-        return decode_wire_batches(self._prefetch(
+        batches = decode_wire_batches(self._prefetch(
             iter(self.loader), depth=getattr(self.args, "prefetch", 4),
         ))
+        if self.data_echo == 1:
+            return batches
+        return (b for b in batches for _ in range(self.data_echo))
 
     def _prefetch(self, it, depth):
         mesh = self.mesh if jax.process_count() > 1 else None

@@ -188,3 +188,24 @@ def test_async_checkpoint_roundtrip(tmp_path):
     b = jax.tree.leaves(jax.device_get(state2.params))
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_data_echoing(tmp_path):
+    """--data_echo N: each loaded batch yields N train steps (data echoing,
+    arXiv:1907.05550), schedules scale with the echoed batches_per_epoch,
+    and echoed steps reuse the same sample indices."""
+    import numpy as np
+
+    args = make_args(tmp_path, data_echo=3)
+    dataset = make_dataset(args)
+    trainer = Trainer(args, dataset)
+    assert trainer.batches_per_epoch == len(trainer.loader) * 3
+
+    trainer.loader.set_epoch(0)
+    seen = [np.asarray(b["index"]) for b in trainer._device_batches()]
+    assert len(seen) == len(trainer.loader) * 3
+    for k in range(0, len(seen), 3):
+        np.testing.assert_array_equal(seen[k], seen[k + 1])
+        np.testing.assert_array_equal(seen[k], seen[k + 2])
+    # distinct loaded batches still differ
+    assert not np.array_equal(seen[0], seen[3])
