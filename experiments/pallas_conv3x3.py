@@ -30,8 +30,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv_kernel(x_ref, w_ref, o_ref, *, h_tile, h, w_dim, c_in, c_out):
-    """One n cell: im2col 3x3 halo windows in VMEM, one fat dot per strip.
+def _conv_kernel(x_ref, w_ref, o_ref, *, h_tile, h, w_dim, c_in, c_out,
+                 mode):
+    """One n cell: 3x3 halo windows sliced in VMEM, MXU dots per strip.
 
     x_ref: [1, h+2, w_dim+2, c_in] (padded input image)
     w_ref: [9*c_in, c_out]
@@ -40,26 +41,40 @@ def _conv_kernel(x_ref, w_ref, o_ref, *, h_tile, h, w_dim, c_in, c_out):
     Halo strips overlap, which block-index maps can't express, so the
     whole padded image is the block and strips are sliced in-kernel
     (static offsets — unrolled python loop).
+
+    mode='im2col': concat 9 windows on lanes -> one [m, 9C] dot (lane
+    boundaries at 64 multiples — relayout cost, fattest dot).
+    mode='acc9': 9 accumulated [m, C] x [C, Co] dots (K=64 halves MXU
+    reduction util, no relayout).
     """
     m = h_tile * w_dim
     for s in range(h // h_tile):
         y0 = s * h_tile
-        cols = []
+        wins = []
         for dy in range(3):
             for dx in range(3):
                 win = x_ref[0, y0 + dy:y0 + dy + h_tile,
                             dx:dx + w_dim, :]
-                cols.append(win.reshape(m, c_in))
-        patches = jnp.concatenate(cols, axis=1)  # [m, 9*c_in]
-        acc = jnp.dot(patches, w_ref[:],
-                      preferred_element_type=jnp.float32)
+                wins.append(win.reshape(m, c_in))
+        if mode == "im2col":
+            patches = jnp.concatenate(wins, axis=1)  # [m, 9*c_in]
+            acc = jnp.dot(patches, w_ref[:],
+                          preferred_element_type=jnp.float32)
+        else:  # acc9
+            acc = jnp.zeros((m, c_out), jnp.float32)
+            for t, win in enumerate(wins):
+                acc += jnp.dot(
+                    win, w_ref[t * c_in:(t + 1) * c_in, :],
+                    preferred_element_type=jnp.float32,
+                )
         o_ref[0, y0:y0 + h_tile] = acc.reshape(
             h_tile, w_dim, c_out
         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("h_tile", "interpret"))
-def conv3x3_pallas(x, w, h_tile=14, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("h_tile", "interpret", "mode"))
+def conv3x3_pallas(x, w, h_tile=14, interpret=False, mode="im2col"):
     """3x3 stride-1 'same' conv, channels last: [N,H,W,C] -> [N,H,W,Co].
 
     ``w`` is [3,3,C,Co]; repacked to the kernel's [9C, Co] im2col layout
@@ -74,7 +89,7 @@ def conv3x3_pallas(x, w, h_tile=14, interpret=False):
     return pl.pallas_call(
         functools.partial(
             _conv_kernel, h_tile=h_tile, h=h, w_dim=w_dim, c_in=c_in,
-            c_out=c_out,
+            c_out=c_out, mode=mode,
         ),
         grid=(n,),
         in_specs=[
@@ -244,6 +259,10 @@ def bench():
         ("pallas_fwd_ht14", lambda: conv3x3_pallas(x, w, h_tile=14)),
         ("pallas_fwd_ht28", lambda: conv3x3_pallas(x, w, h_tile=28)),
         ("pallas_fwd_ht56", lambda: conv3x3_pallas(x, w, h_tile=56)),
+        ("pallas_fwd_acc9_ht14",
+         lambda: conv3x3_pallas(x, w, h_tile=14, mode="acc9")),
+        ("pallas_fwd_acc9_ht56",
+         lambda: conv3x3_pallas(x, w, h_tile=56, mode="acc9")),
         ("xla_fwd+bwd [3x flops]", lambda: xla_fwdbwd(x, w, g)[1][0]),
         ("pallas_dgrad", lambda: conv3x3_dgrad_pallas(g, w, h_tile=14)),
         ("pallas_wgrad", lambda: conv3x3_wgrad_pallas(x, g, h_tile=14)),
