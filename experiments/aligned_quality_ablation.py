@@ -49,7 +49,7 @@ def ensure_pack(path: str, n: int):
 
 
 def run_variant(tag: str, aligned: bool, pack: str, epochs: int,
-                dump_root: str):
+                dump_root: str, nopts: int = 8):
     dump = os.path.join(dump_root, tag)
     os.makedirs(dump, exist_ok=True)
     cmd = [
@@ -64,7 +64,7 @@ def run_variant(tag: str, aligned: bool, pack: str, epochs: int,
         "--device_spectrogram", "true",
         "--compute_dtype", "bfloat16",
         "--tpu_aligned_midplanes", "true" if aligned else "false",
-        "--nopts", "8", "--workers", "4",
+        "--nopts", str(nopts), "--workers", "4",
         "--dump_path", dump,
     ]
     print(f"== {tag}: {' '.join(cmd)}", flush=True)
@@ -87,6 +87,7 @@ def parse_nmi(log_path: str):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--nopts", type=int, default=8)
     p.add_argument("--pack", type=str, default="/tmp/ablation_512.pack")
     p.add_argument("--dump_root", type=str,
                    default="/tmp/aligned_ablation")
@@ -96,11 +97,11 @@ def main():
     results = {}
     for tag, aligned in (("parity", False), ("aligned", True)):
         results[tag] = run_variant(tag, aligned, args.pack, args.epochs,
-                                   args.dump_root)
+                                   args.dump_root, nopts=args.nopts)
     print(json.dumps({
         "config": "512-sample packed synthetic, K=32, 4 heads, "
                   "ind_groups=2, match+gauss, fp32 SK, bf16 compute, "
-                  f"{args.epochs} epochs",
+                  f"{args.epochs} epochs, nopts={args.nopts}",
         "nmi_vs_gt": results,
     }))
 

@@ -47,13 +47,14 @@ def _conv_kernel(x_ref, w_ref, o_ref, *, h_tile, h, w_dim, c_in, c_out,
     mode='acc9': 9 accumulated [m, C] x [C, Co] dots (K=64 halves MXU
     reduction util, no relayout).
     """
-    m = h_tile * w_dim
+    n_blk = x_ref.shape[0]
+    m = n_blk * h_tile * w_dim
     for s in range(h // h_tile):
         y0 = s * h_tile
         wins = []
         for dy in range(3):
             for dx in range(3):
-                win = x_ref[0, y0 + dy:y0 + dy + h_tile,
+                win = x_ref[:, y0 + dy:y0 + dy + h_tile,
                             dx:dx + w_dim, :]
                 wins.append(win.reshape(m, c_in))
         if mode == "im2col":
@@ -67,22 +68,26 @@ def _conv_kernel(x_ref, w_ref, o_ref, *, h_tile, h, w_dim, c_in, c_out,
                     win, w_ref[t * c_in:(t + 1) * c_in, :],
                     preferred_element_type=jnp.float32,
                 )
-        o_ref[0, y0:y0 + h_tile] = acc.reshape(
-            h_tile, w_dim, c_out
+        o_ref[:, y0:y0 + h_tile] = acc.reshape(
+            n_blk, h_tile, w_dim, c_out
         ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("h_tile", "interpret", "mode"))
-def conv3x3_pallas(x, w, h_tile=14, interpret=False, mode="im2col"):
+                   static_argnames=("h_tile", "interpret", "mode",
+                                    "n_blk"))
+def conv3x3_pallas(x, w, h_tile=14, interpret=False, mode="im2col",
+                   n_blk=1):
     """3x3 stride-1 'same' conv, channels last: [N,H,W,C] -> [N,H,W,Co].
 
     ``w`` is [3,3,C,Co]; repacked to the kernel's [9C, Co] im2col layout
     (dy-major, dx, then channel — matching the kernel's concat order).
+    ``n_blk`` images are processed per grid cell (fatter dots).
     """
     n, h, w_dim, c_in = x.shape
     c_out = w.shape[-1]
     assert h % h_tile == 0, (h, h_tile)
+    assert n % n_blk == 0, (n, n_blk)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     w2 = w.reshape(9 * c_in, c_out).astype(x.dtype)
 
@@ -91,10 +96,10 @@ def conv3x3_pallas(x, w, h_tile=14, interpret=False, mode="im2col"):
             _conv_kernel, h_tile=h_tile, h=h, w_dim=w_dim, c_in=c_in,
             c_out=c_out, mode=mode,
         ),
-        grid=(n,),
+        grid=(n // n_blk,),
         in_specs=[
             pl.BlockSpec(
-                (1, h + 2, w_dim + 2, c_in),
+                (n_blk, h + 2, w_dim + 2, c_in),
                 lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -104,7 +109,7 @@ def conv3x3_pallas(x, w, h_tile=14, interpret=False, mode="im2col"):
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, h, w_dim, c_out), lambda i: (i, 0, 0, 0),
+            (n_blk, h, w_dim, c_out), lambda i: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n, h, w_dim, c_out), x.dtype),
@@ -203,6 +208,16 @@ def conv3x3_xla(x, w):
     ).astype(x.dtype)
 
 
+@jax.jit
+def conv3x3_xla_native(x, w):
+    """No preferred_element_type: the dtype-native conv (what flax
+    nn.Conv(dtype=bf16) emits in the tower)."""
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 def _materialize(x):
     return float(jnp.sum(x.astype(jnp.float32)))
 
@@ -251,11 +266,12 @@ def bench():
 
     @jax.jit
     def xla_fwdbwd(x, w, g):
-        out, vjp = jax.vjp(conv3x3_xla, x, w)
+        out, vjp = jax.vjp(conv3x3_xla_native, x, w)
         return out, vjp(g)
 
     for name, fn in [
         ("xla_fwd", lambda: conv3x3_xla(x, w)),
+        ("xla_fwd_native_bf16", lambda: conv3x3_xla_native(x, w)),
         ("pallas_fwd_ht14", lambda: conv3x3_pallas(x, w, h_tile=14)),
         ("pallas_fwd_ht28", lambda: conv3x3_pallas(x, w, h_tile=28)),
         ("pallas_fwd_ht56", lambda: conv3x3_pallas(x, w, h_tile=56)),
@@ -263,6 +279,12 @@ def bench():
          lambda: conv3x3_pallas(x, w, h_tile=14, mode="acc9")),
         ("pallas_fwd_acc9_ht56",
          lambda: conv3x3_pallas(x, w, h_tile=56, mode="acc9")),
+        ("pallas_fwd_ht56_nb4",
+         lambda: conv3x3_pallas(x, w, h_tile=56, n_blk=4)),
+        ("pallas_fwd_ht28_nb4",
+         lambda: conv3x3_pallas(x, w, h_tile=28, n_blk=4)),
+        ("pallas_fwd_acc9_ht56_nb4",
+         lambda: conv3x3_pallas(x, w, h_tile=56, mode="acc9", n_blk=4)),
         ("xla_fwd+bwd [3x flops]", lambda: xla_fwdbwd(x, w, g)[1][0]),
         ("pallas_dgrad", lambda: conv3x3_dgrad_pallas(g, w, h_tile=14)),
         ("pallas_wgrad", lambda: conv3x3_wgrad_pallas(x, g, h_tile=14)),
