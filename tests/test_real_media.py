@@ -121,3 +121,53 @@ def test_all_corrupt_raises(tmp_path):
                        decode_retries=2)
     with pytest.raises(RuntimeError, match="consecutive decode failures"):
         ds.get_example(0, np.random.default_rng(0))
+
+
+def test_ucf_style_folds_and_test_views(media_root, tmp_path):
+    """ucf101-style layout over real mp4s: fold membership via the official
+    trainlist/testlist files, and test mode enumerating
+    num_ensemble_views x num_spatial_crops clips per video from actual
+    decoded frames (reference AVideoDataset.py:57-75,259-264,370-383)."""
+    import shutil
+
+    root = tmp_path / "ucf"
+    for cls in ("classA", "classB"):
+        (root / cls).mkdir(parents=True)
+        for vi in range(2):
+            shutil.copyfile(
+                media_root / "train" / cls / f"vid{vi}.mp4",
+                root / cls / f"vid{vi}.mp4",
+            )
+    ann = tmp_path / "ucfTrainTestlist"
+    ann.mkdir()
+    (ann / "trainlist01.txt").write_text(
+        "classA/vid0.mp4 1\nclassB/vid0.mp4 2\n"
+    )
+    (ann / "testlist01.txt").write_text(
+        "classA/vid1.mp4\nclassB/vid1.mp4\n"
+    )
+
+    train_ds = AVideoDataset(
+        ds_name="ucf101", root_dir=str(root), mode="train", fold=1,
+        num_frames=4, train_crop_size=32, decode_audio=False,
+        path_to_data_dir=str(tmp_path / "meta"),
+        annotation_path=str(ann),
+    )
+    assert len(train_ds) == 2  # vid0 of each class
+
+    test_ds = AVideoDataset(
+        ds_name="ucf101", root_dir=str(root), mode="test", fold=1,
+        num_frames=4, test_crop_size=32, num_spatial_crops=3,
+        num_ensemble_views=2, decode_audio=False,
+        path_to_data_dir=str(tmp_path / "meta"),
+        annotation_path=str(ann),
+    )
+    # 2 test videos x (2 views x 3 crops) enumerated clips
+    assert len(test_ds) == 2 * 2 * 3
+    rng = np.random.default_rng(0)
+    ex0 = test_ds.get_example(0, rng)
+    ex5 = test_ds.get_example(5, rng)
+    assert ex0["video"].shape == (4, 32, 32, 3)
+    assert ex0["vid_idx"] == ex5["vid_idx"]  # same video, different view
+    ex6 = test_ds.get_example(6, rng)
+    assert ex6["vid_idx"] != ex0["vid_idx"]
