@@ -17,6 +17,7 @@ spatial transforms and spectrograms are applied downstream.
 
 from __future__ import annotations
 
+import functools
 import math
 import subprocess
 from typing import Optional, Tuple
@@ -152,8 +153,13 @@ def decode_pyav(
     return clip_frames, fps, start_sec
 
 
+@functools.lru_cache(maxsize=4096)
 def probe_video_meta(path: str) -> Optional[dict]:
-    """ffprobe width/height/fps/duration of the first video stream."""
+    """ffprobe width/height/fps/duration of the first video stream.
+
+    Cached per path: the metadata is static for a training run, and the
+    ffmpeg decode path would otherwise spawn a fresh ffprobe for every
+    clip of every epoch (callers treat the dict as read-only)."""
     import json
     import shutil
 
@@ -304,10 +310,12 @@ def decode_video(
     caller may tolerate (reference decoder.py:347-384 try/except)."""
     if have_pyav():
         try:
-            return decode_pyav(
+            frames, fps, start = decode_pyav(
                 path, sampling_rate, num_frames, clip_idx, num_clips,
                 target_fps=target_fps, rng=rng,
             )
+            if frames is not None:
+                return frames, fps, start
         except Exception:
             pass  # fall through on corrupt/unreadable input
     if have_ffmpeg():

@@ -38,6 +38,9 @@ def build_dataset(args, mode: str = "train", eval_mode: bool = False):
             seed=getattr(args, "seed", 31),
             mode="val" if eval_mode else mode,
             return_pcm=return_pcm,
+            dual_data=(
+                not eval_mode and bool(getattr(args, "dual_data", False))
+            ),
         )
     from selavi_tpu.data.dataset import AVideoDataset
 
@@ -100,10 +103,15 @@ def example_shapes(args, dataset) -> tuple[tuple, tuple]:
         return video_shape, (2,) + shape
     from selavi_tpu.data.audio import spec_num_frames
 
+    # PCM path: the device frontend (train/step.py prepare_audio) maps
+    # per-example PCM [S] -> spec [F,T,1] and dual_data PCM [2,S] ->
+    # a 2-channel spec [F,T,2]; init must match.
+    pcm = example["audio_pcm"]
+    n_clips = pcm.shape[0] if pcm.ndim == 2 else 1
     nfilt = 40 if args.aud_spec_type == 1 else 257
     return video_shape, (
         2,
         nfilt,
         spec_num_frames(args.num_sec_aud, args.aud_sample_rate),
-        1,
+        n_clips,
     )

@@ -38,7 +38,9 @@ class SyntheticAVDataset:
         seed: int = 0,
         mode: str = "train",
         return_pcm: bool = False,
+        dual_data: bool = False,
     ):
+        self.dual_data = dual_data
         self.num_samples = num_samples
         self.num_classes = num_classes
         self.num_frames = num_frames
@@ -89,20 +91,34 @@ class SyntheticAVDataset:
                 0.5 + 0.5 * np.sin(2 * np.pi * hue + 4.2),
             ]
         )
-        # uint8 noise background directly (float64 uniform draws dominated
-        # per-sample cost at paper-scale shapes)
-        video = rng.integers(0, 39, size=(t, c, c, 3), dtype=np.uint8)
-        color_u8 = (color * 255).astype(np.uint8)
-        radius = c // 4
-        sq = max(c // 8, 2)
-        speed = 1.0 + label
-        for f in range(t):
-            ang = self._phase[idx] + speed * f / t * 2 * np.pi
-            cy = int(c / 2 + radius * np.sin(ang))
-            cx = int(c / 2 + radius * np.cos(ang))
-            y0, y1 = max(cy - sq, 0), min(cy + sq, c)
-            x0, x1 = max(cx - sq, 0), min(cx + sq, c)
-            video[f, y0:y1, x0:x1, :] = color_u8
+        num_clips = 2 if self.dual_data and self.mode == "train" else 1
+
+        def one_clip(phase):
+            # uint8 noise background directly (float64 uniform draws
+            # dominated per-sample cost at paper-scale shapes)
+            clip = rng.integers(0, 39, size=(t, c, c, 3), dtype=np.uint8)
+            color_u8 = (color * 255).astype(np.uint8)
+            radius = c // 4
+            sq = max(c // 8, 2)
+            speed = 1.0 + label
+            for f in range(t):
+                ang = phase + speed * f / t * 2 * np.pi
+                cy = int(c / 2 + radius * np.sin(ang))
+                cx = int(c / 2 + radius * np.cos(ang))
+                y0, y1 = max(cy - sq, 0), min(cy + sq, c)
+                x0, x1 = max(cx - sq, 0), min(cx + sq, c)
+                clip[f, y0:y1, x0:x1, :] = color_u8
+            return clip
+
+        # dual_data: two independently sampled clips of the same "video",
+        # concatenated along time (reference AVideoDataset.py:431-451)
+        video = np.concatenate(
+            [
+                one_clip(self._phase[idx] + k * rng.uniform(0, 2 * np.pi))
+                for k in range(num_clips)
+            ],
+            axis=0,
+        )
 
         # --- audio: class-frequency sine + harmonics, int16 scale
         sr = self.aud_sample_rate
@@ -116,29 +132,41 @@ class SyntheticAVDataset:
         )
         wav = (wav * 8000).astype(np.float64)
 
-        fr_sec = rng.uniform(0, dur - self.num_sec)
+        fr_secs = [
+            rng.uniform(0, dur - self.num_sec) for _ in range(num_clips)
+        ]
         out = {
-            "video": video,  # [T, H, W, 3] uint8
+            "video": video,  # [T*num_clips, H, W, 3] uint8
             "label": label,
             "index": idx,
             "vid_idx": idx,
         }
         if self.return_pcm:
             # device-spectrogram path: ship the raw clip waveform; the
-            # fused on-device kernel (ops/logmel.py) computes the spec
-            fr = int(np.round(fr_sec * sr))
-            out["audio_pcm"] = wav[fr : fr + self.num_sec * sr].astype(
-                np.float32
-            )
+            # fused on-device kernel (ops/logmel.py) computes the spec.
+            # dual_data: [2, S] — clip rows become spectrogram channels.
+            pcm = []
+            for fr_sec in fr_secs:
+                fr = int(np.round(fr_sec * sr))
+                pcm.append(
+                    wav[fr : fr + self.num_sec * sr].astype(np.float32)
+                )
+            out["audio_pcm"] = pcm[0] if num_clips == 1 else np.stack(pcm)
         else:
-            spec = get_spec(
-                wav,
-                fr_sec,
-                num_sec=self.num_sec,
-                sample_rate=sr,
-                aud_spec_type=self.aud_spec_type,
-                z_normalize=self.z_normalize,
-                rng=rng,
-            )  # [1, nfilt, T]
-            out["audio"] = spec[0].astype(np.float32)  # [nfilt, T]
+            specs = [
+                get_spec(
+                    wav,
+                    fr_sec,
+                    num_sec=self.num_sec,
+                    sample_rate=sr,
+                    aud_spec_type=self.aud_spec_type,
+                    z_normalize=self.z_normalize,
+                    rng=rng,
+                )[0].astype(np.float32)  # [nfilt, T]
+                for fr_sec in fr_secs
+            ]
+            # dual_data: channel-stacked [F, T, 2] (AVideoDataset.py:451)
+            out["audio"] = (
+                specs[0] if num_clips == 1 else np.stack(specs, axis=-1)
+            )
         return out

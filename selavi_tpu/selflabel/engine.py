@@ -233,17 +233,26 @@ def cluster(
             # can balance the argmax (the reference's fp64 power-domain
             # iteration hits 0*inf on the same instances). Surface it
             # loudly instead of silently training into the death spiral.
+            # thresholds are relative to the TARGET marginals: with
+            # --distribution gauss the marginals deliberately give some
+            # clusters far more than n/K, so uniform n/K cutoffs would
+            # misfire on healthy runs.
+            expected = n * np.exp(np.asarray(log_r, np.float64))
+            supported = int((expected >= 1.0).sum())
             used = np.unique(head_labels).size
-            biggest = np.bincount(head_labels).max()
-            if used < cfg.num_clusters // 2 or (
-                biggest > 3 * max(n // cfg.num_clusters, 1)
-            ):
+            counts = np.bincount(head_labels, minlength=cfg.num_clusters)
+            overfill = counts / np.maximum(expected, 1.0)
+            worst = int(np.argmax(overfill))
+            if used < supported // 2 or overfill[worst] > 3.0:
                 logger.warning(
-                    "degenerate SK assignment on head %d: %d/%d clusters "
-                    "used, largest %d/%d samples — head logits are likely "
-                    "saturated (over-memorization); consider more data, "
-                    "fewer epochs between SK steps, or a lower lamb",
-                    head, used, cfg.num_clusters, int(biggest), n,
+                    "degenerate SK assignment on head %d: %d/%d "
+                    "supported clusters used, cluster %d has %d samples "
+                    "(%.1fx its marginal target %.0f) — head logits are "
+                    "likely saturated (over-memorization); consider more "
+                    "data, fewer epochs between SK steps, or a lower "
+                    "lamb",
+                    head, used, supported, worst, int(counts[worst]),
+                    float(overfill[worst]), float(expected[worst]),
                 )
             logger.info(
                 "head %d: SK cost %.3f, err %.3g, %d iters, %.2fs",

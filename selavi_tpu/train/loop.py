@@ -113,27 +113,13 @@ class Trainer:
 
         rng = jax.random.PRNGKey(args.seed)
         self.np_rng = np.random.default_rng(args.seed)
-        example = dataset.get_example(0, np.random.default_rng(0))
-        if "video" in example:
-            video_shape = (2,) + example["video"].shape
-        else:  # YUV 4:2:0 wire format: RGB is reconstructed on device
-            video_shape = (2,) + example["video_y"].shape + (3,)
-        if "audio" in example:
-            audio_shape = (2,) + example["audio"].shape + (1,)
-        else:
-            # device-spectrogram path: derive the spec shape from the config
-            from selavi_tpu.data.audio import spec_num_frames
+        from selavi_tpu.data.factory import (
+            audio_cfg_from_args,
+            example_shapes,
+        )
 
-            nfilt = 40 if args.aud_spec_type == 1 else 257
-            audio_shape = (
-                2, nfilt,
-                spec_num_frames(args.num_sec_aud, args.aud_sample_rate), 1,
-            )
-        self.audio_cfg = {
-            "samplerate": args.aud_sample_rate,
-            "nfilt": 40 if args.aud_spec_type == 1 else 257,
-            "z_normalize": args.z_normalize,
-        }
+        video_shape, audio_shape = example_shapes(args, dataset)
+        self.audio_cfg = audio_cfg_from_args(args)
         with self.mesh:
             self.state = create_train_state(
                 self.model, self.tx, rng, video_shape, audio_shape

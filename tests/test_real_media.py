@@ -78,8 +78,11 @@ def test_cv2_backend_decodes_clip(media_root):
     assert not np.array_equal(f0, f2)
 
 
-def test_dispatcher_uses_cv2_here(media_root):
-    assert not dec.have_pyav() and not dec.have_ffmpeg()
+def test_dispatcher_uses_cv2_here(media_root, monkeypatch):
+    # force the cv2 leg of the dispatcher regardless of which other
+    # backends this host happens to have
+    monkeypatch.setattr(dec, "have_pyav", lambda: False)
+    monkeypatch.setattr(dec, "have_ffmpeg", lambda: False)
     path = str(media_root / "train" / "classB" / "vid1.mp4")
     frames, fps, _ = dec.decode_video(
         path, 1, 4, clip_idx=0, num_clips=1

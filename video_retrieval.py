@@ -50,6 +50,11 @@ def parse_args(argv=None):
     parser.add_argument("--num_data_samples", default=None, type=int)
     parser.add_argument("--tpu_aligned_midplanes", type="bool",
                         default="False")
+    # audio-frontend config for PCM-emitting datasets (must match the
+    # flags the checkpoint was trained with; defaults mirror get_clusters)
+    parser.add_argument("--aud_sample_rate", type=int, default=48000)
+    parser.add_argument("--aud_spec_type", type=int, default=2)
+    parser.add_argument("--z_normalize", type="bool", default="True")
     return parser.parse_args(argv)
 
 
@@ -109,9 +114,12 @@ def main(argv=None):
     need_audio = args.task != "v-v"
     audio_encode = None
     if need_audio:
+        from selavi_tpu.data.factory import audio_cfg_from_args
         from selavi_tpu.eval.retrieval import make_audio_encode_fn
 
-        aenc = make_audio_encode_fn(model)
+        aenc = make_audio_encode_fn(
+            model, audio_cfg=audio_cfg_from_args(args)
+        )
         audio_encode = lambda a: aenc(state.params, state.batch_stats, a)
 
     def encode_fn(video):
