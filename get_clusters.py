@@ -61,6 +61,10 @@ def parse_args(argv=None):
                         help="dataset ships raw PCM; spectrograms are "
                              "computed on device (matches training with "
                              "--device_spectrogram)")
+    parser.add_argument("--dual_data", type="bool", default="False",
+                        help="checkpoint was trained with --dual_data "
+                             "(2-channel audio stem); eval specs are "
+                             "duplicated across both channels")
     return parser.parse_args(argv)
 
 
@@ -81,6 +85,10 @@ def main(argv=None):
         midplanes_mode="aligned" if args.tpu_aligned_midplanes else "parity",
     )
     video_shape, audio_shape = example_shapes(args, dataset)
+    if args.dual_data:
+        # eval datasets yield single clips; the dual-trained stem still
+        # needs its 2-channel init shape (specs are tiled at encode time)
+        audio_shape = audio_shape[:-1] + (2,)
     tx = make_optimizer(0.01, 0.0)
     state = create_train_state(
         model, tx, jax.random.PRNGKey(0), video_shape, audio_shape,
@@ -104,7 +112,10 @@ def main(argv=None):
 
     mesh = make_mesh()
     dsh = data_sharding(mesh)
-    encode = make_encode_fn(model, audio_cfg=audio_cfg_from_args(args))
+    encode = make_encode_fn(
+        model, audio_cfg=audio_cfg_from_args(args),
+        audio_channels=2 if args.dual_data else None,
+    )
     head_logits = make_head_logits_fn(model)
 
     loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=False,

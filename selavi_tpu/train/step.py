@@ -151,6 +151,22 @@ def make_bn_warmup_step(
     return warmup
 
 
+def _match_audio_channels(spec, audio_channels):
+    """Tile a single-channel spectrogram to the stem's channel count.
+
+    A dual_data-trained checkpoint has a 2-channel audio stem, but eval
+    datasets (test mode) yield single clips; duplicating the spec across
+    both channels lets such checkpoints still be evaluated."""
+    if (
+        audio_channels
+        and spec.shape[-1] == 1
+        and spec.shape[-1] != audio_channels
+    ):
+        reps = (1,) * (spec.ndim - 1) + (int(audio_channels),)
+        spec = jnp.tile(spec, reps)
+    return spec
+
+
 def make_encode_fn(
     model,
     compute_dtype=jnp.float32,
@@ -158,6 +174,7 @@ def make_encode_fn(
     augment: bool = False,
     colorjitter: bool = False,
     grayscale: bool = False,
+    audio_channels: Optional[int] = None,
 ) -> Callable:
     """Eval-mode GAP features for the SK aggregation pass
     (reference sk_utils.py:196-211; eval mode = running BN stats).
@@ -186,7 +203,10 @@ def make_encode_fn(
             return model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 video,
-                prepare_audio(audio, compute_dtype, audio_cfg),
+                _match_audio_channels(
+                    prepare_audio(audio, compute_dtype, audio_cfg),
+                    audio_channels,
+                ),
                 train=False,
                 return_features=True,
             )
@@ -201,7 +221,10 @@ def make_encode_fn(
         feat_v, feat_a = model.apply(
             {"params": params, "batch_stats": batch_stats},
             video,
-            prepare_audio(audio, compute_dtype, audio_cfg),
+            _match_audio_channels(
+                prepare_audio(audio, compute_dtype, audio_cfg),
+                audio_channels,
+            ),
             train=False,
             return_features=True,
         )

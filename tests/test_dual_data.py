@@ -57,3 +57,29 @@ def test_dual_data_trains(tmp_path, device_spec):
     history = trainer.fit()
     losses = [h["loss"] for h in history if "loss" in h]
     assert losses and np.isfinite(losses).all()
+
+    if device_spec:
+        return
+    # dual-trained checkpoints stay evaluable: the eval dataset yields
+    # single specs, which get_clusters tiles onto the 2-channel stem
+    import pickle
+
+    import get_clusters
+
+    out = str(tmp_path / "ps.pkl")
+    get_clusters.main([
+        "--ds_name", "synthetic",
+        "--num_data_samples", str(args.num_data_samples),
+        "--weights_path", str(tmp_path / "checkpoint.msgpack"),
+        "--output_path", out,
+        "--headcount", "2", "--mlp_dim", "8",
+        "--num_frames", str(args.num_frames),
+        "--train_crop_size", str(args.train_crop_size),
+        "--aud_sample_rate", str(args.aud_sample_rate),
+        "--aud_spec_type", str(args.aud_spec_type),
+        "--batch_size", "8", "--workers", "0",
+        "--dual_data", "true",
+    ])
+    with open(out, "rb") as f:
+        ps = pickle.load(f)
+    assert len(ps[0]) == 2 and ps[0][0].shape == (16, 8)
