@@ -14,6 +14,7 @@ GSPMD); parameters are replicated.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -100,10 +101,16 @@ def fetch_to_host(x) -> np.ndarray:
     if x.is_fully_replicated:
         return np.asarray(x.addressable_shards[0].data)
     mesh = x.sharding.mesh
-    rep = jax.jit(
-        lambda a: a, out_shardings=NamedSharding(mesh, P())
-    )(x)
+    rep = _replicate_fn(NamedSharding(mesh, P()))(x)
     return np.asarray(rep.addressable_shards[0].data)
+
+
+@functools.lru_cache(maxsize=None)
+def _replicate_fn(sharding):
+    """Cached jitted identity per target sharding: a fresh ``jax.jit``
+    per call would never hit the jit cache (keyed on the function
+    object), recompiling the resharding program for every array."""
+    return jax.jit(lambda a: a, out_shardings=sharding)
 
 
 def global_batch_from_local(mesh: Mesh, local_batch: dict) -> dict:

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from selavi_tpu.selflabel.marginals import MarginalState, get_marginal
-from selavi_tpu.selflabel.matching import match_order, permute_head_output
+from selavi_tpu.selflabel.matching import match_order
 from selavi_tpu.selflabel.sinkhorn import sinkhorn_knopp
 
 logger = logging.getLogger(__name__)
@@ -163,11 +163,16 @@ def cluster(
             sharding=feature_sharding,
         )
 
-        # 2. modality alignment at the very first SK step
+        # 2. modality alignment at the very first SK step. Both [H,N,K]
+        # stacks are computed ONCE: a head's perm only permutes that
+        # head's own audio classifier, so the pre-permutation logits of
+        # every other head stay valid (heads are independent).
         if cfg.match and iter_num == 0:
+            logits_v_all = head_logits_fn(params, ps_v, "v")
+            logits_a_all = head_logits_fn(params, ps_a, "a")
             for head in heads_in_group:
-                logits_v = head_logits_fn(params, ps_v, "v")[head]
-                logits_a = head_logits_fn(params, ps_a, "a")[head]
+                logits_v = logits_v_all[head]
+                logits_a = logits_a_all[head]
                 perm = match_order(logits_v, logits_a, rng=np_rng)
                 params = _apply_audio_perm(params, head, perm)
                 logger.info(
@@ -208,9 +213,20 @@ def cluster(
                 rng=np_rng,
             )
             t0 = time.time()
+            # the fused Pallas kernel is a single-core program (plain
+            # pallas_call, no shard_map): auto-select it only when the
+            # [N,K] matrix lives on one device. Row-sharded multi-chip
+            # aggregation stays on the GSPMD-partitioned XLA solver —
+            # otherwise XLA would gather the full matrix to every chip
+            # each iteration (or fail to partition the custom call).
+            single_device = (
+                not hasattr(log_ps, "sharding")
+                or len(log_ps.sharding.device_set) == 1
+            )
             use_pallas = cfg.sk_backend == "pallas" or (
                 cfg.sk_backend == "auto"
                 and jax.default_backend() == "tpu"
+                and single_device
             )
             res = sinkhorn_knopp(
                 log_ps,

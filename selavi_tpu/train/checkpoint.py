@@ -54,6 +54,7 @@ def save_checkpoint(
     total_epochs: Optional[int] = None,
     dump_checkpoints: Optional[str] = None,
     async_write: bool = False,
+    completed: bool = True,
 ):
     """Write the checkpoint; rank 0 does the IO.
 
@@ -79,7 +80,9 @@ def save_checkpoint(
     if jax.process_index() != 0:
         return
     host_sl = {
-        "epoch": epoch + 1,
+        # completed=False (mid-epoch preemption): resume AT this epoch so
+        # its remaining batches + scheduled SK steps re-run in full
+        "epoch": epoch + 1 if completed else epoch,
         "selflabels": np.asarray(sl_state.selflabels).copy(),
         "dist": sl_state.marginals.to_dict(),
         "sk_counter": sl_state.sk_counter,
@@ -95,7 +98,7 @@ def save_checkpoint(
         with open(tmp, "wb") as f:
             pickle.dump(payload, f)
         os.replace(tmp, path)
-        if dump_checkpoints and (
+        if dump_checkpoints and completed and (
             epoch % checkpoint_freq == 0
             or (total_epochs is not None and epoch == total_epochs - 1)
         ):

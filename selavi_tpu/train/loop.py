@@ -105,7 +105,10 @@ class Trainer:
         self.tx = make_optimizer(
             base_lr=args.base_lr,
             weight_decay=args.wd,
-            multiplier=float(self.n_devices * jax.process_count()),
+            # reference lr scaling is by world_size = total accelerators
+            # (main.py:127); mesh.devices.size is ALREADY the global chip
+            # count in multi-process jax — do not multiply by processes
+            multiplier=float(self.n_devices),
             warmup_epochs=args.warmup_epochs,
             use_warmup=args.use_warmup_scheduler,
             batches_per_epoch=self.batches_per_epoch,
@@ -213,7 +216,7 @@ class Trainer:
         self.loader.set_epoch(999)
         bs = self.state.batch_stats
         rng = jax.random.PRNGKey(999)
-        for i, batch in enumerate(self._device_batches()):
+        for i, batch in enumerate(self._device_batches(echo=False)):
             if i >= batches:
                 break
             rng, sub = jax.random.split(rng)
@@ -223,11 +226,14 @@ class Trainer:
             )
         self.state = self.state.replace(batch_stats=bs)
 
-    def _device_batches(self):
+    def _device_batches(self, echo: bool = True):
+        """``echo=False`` yields each loaded batch once regardless of
+        --data_echo (BN warmup wants unique batches, not augmented
+        replays of the same data)."""
         batches = decode_wire_batches(self._prefetch(
             iter(self.loader), depth=getattr(self.args, "prefetch", 4),
         ))
-        if self.data_echo == 1:
+        if self.data_echo == 1 or not echo:
             return batches
         return (b for b in batches for _ in range(self.data_echo))
 
@@ -373,7 +379,12 @@ class Trainer:
                         "data_time/iter", data_time.avg, iteration
                     )
             if signal_received():
-                self.checkpoint(epoch)
+                # mid-epoch: stamp the CURRENT epoch as the resume point
+                # so the interrupted epoch re-runs in full (the reference
+                # requeues and restarts from the last completed epoch);
+                # stamping epoch+1 would silently skip its remaining
+                # batches and mark its scheduled SK steps done
+                self.checkpoint(epoch, completed=False)
                 from selavi_tpu.train.checkpoint import (
                     wait_for_pending_checkpoint,
                 )
@@ -385,8 +396,8 @@ class Trainer:
         losses.update(float(metrics["loss"]), 1)
         return losses.avg
 
-    def checkpoint(self, epoch: int):
-        self.sl_state.epoch = epoch + 1
+    def checkpoint(self, epoch: int, completed: bool = True):
+        self.sl_state.epoch = epoch + 1 if completed else epoch
         save_checkpoint(
             self.args.dump_path,
             self.state,
@@ -396,6 +407,7 @@ class Trainer:
             total_epochs=self.args.epochs,
             dump_checkpoints=getattr(self.args, "dump_checkpoints", None),
             async_write=getattr(self.args, "async_checkpoint", True),
+            completed=completed,
         )
 
     def fit(self) -> list[dict]:

@@ -267,6 +267,30 @@ def save_reference_checkpoint(
     torch.save(blob, path)
 
 
+def _infer_audio_stage_blocks(audio_params: dict) -> Tuple[int, ...]:
+    """Recover the audio ResNet's stage structure from its param keys.
+
+    The flax tower names blocks flatly (``BasicBlock2D_{i}``,
+    models/resnet_audio.py:134-139); the reference's torchvision layout
+    needs them regrouped into ``layer{1..4}.{b}``. Total block count
+    identifies the arch (AUDIO_ARCHS); bottleneck towers (resnet50) have
+    no torchvision-BasicBlock export mapping."""
+    if any(k.startswith("Bottleneck2D_") for k in audio_params):
+        raise NotImplementedError(
+            "audio resnet50 (bottleneck) export to the reference layout "
+            "is not supported"
+        )
+    nblocks = sum(
+        1 for k in audio_params if k.startswith("BasicBlock2D_")
+    )
+    by_count = {4: (1, 1, 1, 1), 8: (2, 2, 2, 2), 16: (3, 4, 6, 3)}
+    if nblocks not in by_count:
+        raise ValueError(
+            f"unrecognized audio tower: {nblocks} basic blocks"
+        )
+    return by_count[nblocks]
+
+
 def export_our_checkpoint(ckpt_path: str, out_path: str):
     """Convert one of our ``checkpoint.msgpack`` files to reference .pth.
 
@@ -287,12 +311,16 @@ def export_our_checkpoint(ckpt_path: str, out_path: str):
     headcount = int(np.asarray(heads_v["proj"]["kernel"]).shape[0])
     use_mlp = "hidden" in heads_v
     dists = (payload.get("dist") or {}).get("dists")
+    audio_stage_blocks = _infer_audio_stage_blocks(
+        params["audio_network"]
+    )
     save_reference_checkpoint(
         out_path,
         params,
         batch_stats,
         headcount,
         use_mlp=use_mlp,
+        audio_stage_blocks=audio_stage_blocks,
         epoch=int(payload.get("epoch", 0)),
         selflabels=payload.get("selflabels"),
         marginal_dists=dists,

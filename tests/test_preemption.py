@@ -49,9 +49,12 @@ def test_preemption_checkpoints_and_exits(tmp_path):
             os.path.join(str(tmp_path), "checkpoint.msgpack")
         )
 
-        # a fresh trainer resumes from the preemption checkpoint
+        # a fresh trainer resumes from the preemption checkpoint AT the
+        # interrupted epoch: a mid-epoch preemption must re-run the
+        # epoch's remaining batches (and its scheduled SK steps), not
+        # mark them done
         trainer2 = Trainer(args, dataset)
         start = trainer2.resume()
-        assert start == 1
+        assert start == 0
     finally:
         init_signal_handler()  # clear the flag for later tests
