@@ -175,12 +175,7 @@ def get_spec(
     if use_temporal_jittering:
         fr_sec = fr_sec + rng.uniform(-0.5, 0.5)
 
-    fr_aud = int(np.round(fr_sec * sample_rate))
-    to_aud = int(np.round(fr_sec * sample_rate) + sample_rate * num_sec)
-    if fr_aud + (to_aud - fr_aud) > len(wav):
-        fr_aud = len(wav) - sample_rate * num_sec
-        to_aud = len(wav)
-    wav = wav[fr_aud:to_aud]
+    wav = _clip_window(wav, fr_sec, num_sec, sample_rate)
 
     if use_volume_jittering:
         wav = wav * rng.uniform(0.9, 1.1)
@@ -191,6 +186,28 @@ def get_spec(
     if z_normalize:
         spec = (spec - 1.93) / 17.89
     return spec
+
+
+def _clip_window(
+    wav: np.ndarray, fr_sec: float, num_sec: int, sample_rate: int
+) -> np.ndarray:
+    """Exactly ``num_sec * sample_rate`` samples starting near ``fr_sec``.
+
+    Clamps the window into the waveform (reference audio_utils.py:31-34 —
+    but with the start clamped at 0: the reference's ``len(wav) - S``
+    goes NEGATIVE on a too-short decode and silently slices the wrong
+    window from the end) and zero-pads short waveforms at the tail so
+    downstream shapes stay static."""
+    target = int(sample_rate * num_sec)
+    fr_aud = int(np.round(fr_sec * sample_rate))
+    if fr_aud + target > len(wav):
+        fr_aud = max(len(wav) - target, 0)
+    clip = wav[fr_aud : fr_aud + target]
+    if len(clip) < target:
+        clip = np.concatenate(
+            [clip, np.zeros(target - len(clip), clip.dtype)]
+        )
+    return clip
 
 
 def slice_clip_pcm(
@@ -210,12 +227,9 @@ def slice_clip_pcm(
         rng = np.random.default_rng()
     if use_temporal_jittering:
         fr_sec = fr_sec + rng.uniform(-0.5, 0.5)
-    fr_aud = int(np.round(fr_sec * sample_rate))
-    to_aud = int(np.round(fr_sec * sample_rate) + sample_rate * num_sec)
-    if fr_aud + (to_aud - fr_aud) > len(wav):
-        fr_aud = len(wav) - sample_rate * num_sec
-        to_aud = len(wav)
-    clip = np.asarray(wav[fr_aud:to_aud], np.float32)
+    clip = np.asarray(
+        _clip_window(wav, fr_sec, num_sec, sample_rate), np.float32
+    )
     if use_volume_jittering:
         clip = clip * np.float32(rng.uniform(0.9, 1.1))
     return clip

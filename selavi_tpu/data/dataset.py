@@ -78,11 +78,15 @@ def select_fold_ucf101(
     name = "train" if train else "test"
     path = os.path.join(annotation_path, f"{name}list{fold:02d}.txt")
     with open(path) as f:
-        selected = {line.strip().split(" ")[0] for line in f if line.strip()}
+        selected = {
+            line.strip().split(" ")[0].lstrip("/")
+            for line in f
+            if line.strip()
+        }
     return [
         i
         for i in range(len(video_list))
-        if video_list[i][len(root):].lstrip("/") in {s.lstrip("/") for s in selected}
+        if video_list[i][len(root):].lstrip("/") in selected
     ]
 
 
@@ -106,10 +110,16 @@ def select_fold_hmdb51(video_list, annotation_path: str, fold: int, train: bool)
 
 
 def filter_videos(vid_paths, n_jobs: int = 30):
-    """Parallel audio-validity probe (reference AVideoDataset.py:100-103)."""
+    """Parallel audio-validity probe (reference AVideoDataset.py:100-103).
+
+    Thread backend on purpose: the probe is ffprobe-subprocess-bound (GIL
+    released), and joblib's default loky workers would inherit this
+    process's accelerator env — on single-chip deployments each spawned
+    worker claims the exclusive TPU and dataset construction deadlocks.
+    """
     from joblib import Parallel, delayed
 
-    flags = Parallel(n_jobs=n_jobs)(
+    flags = Parallel(n_jobs=n_jobs, prefer="threads")(
         delayed(dec.probe_valid)(p) for p in vid_paths
     )
     return [i for i, ok in enumerate(flags) if ok]

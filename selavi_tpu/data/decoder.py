@@ -109,8 +109,11 @@ def decode_pyav(
         duration = stream.duration
 
         clip_size = sampling_rate * num_frames / target_fps * fps
-        if duration is None or frames_length == 0:
-            # unknown length: decode everything
+        decode_all = duration is None or frames_length == 0
+        if decode_all:
+            # unknown length: decode everything, pick the clip window
+            # among the decoded frames afterwards (reference
+            # decoder.py:385-397 re-runs get_start_end_idx post-decode)
             start_idx, end_idx = 0.0, math.inf
             video_start_pts, video_end_pts = 0, math.inf
         else:
@@ -145,10 +148,22 @@ def decode_pyav(
                 for _, f in sorted(video_frames.items())
             ]
         )
-    # resample decoded window to num_frames
-    clip_frames = temporal_sampling(
-        arr, 0, arr.shape[0] - 1, num_frames
-    )
+    if decode_all:
+        # the whole video was decoded: sample the actual temporal clip
+        # (random under jitter) instead of stretching everything into
+        # num_frames — preserves per-epoch temporal jitter and keeps the
+        # audio window (start_sec) aligned with the video clip
+        start_idx, end_idx = get_start_end_idx(
+            arr.shape[0], clip_size, clip_idx, num_clips, rng
+        )
+        clip_frames = temporal_sampling(
+            arr, start_idx, end_idx, num_frames
+        )
+    else:
+        # selective decode: the buffered window IS the clip
+        clip_frames = temporal_sampling(
+            arr, 0, arr.shape[0] - 1, num_frames
+        )
     start_sec = clip_seconds(start_idx, fps)
     return clip_frames, fps, start_sec
 
@@ -398,8 +413,12 @@ def decode_audio(path: str, sample_rate: int) -> Optional[np.ndarray]:
 
 
 def probe_valid(path: str, min_duration: float = 1.1) -> bool:
-    """Audio-validity probe (reference AVideoDataset.py:78-103): file has an
-    audio stream and duration > min_duration seconds."""
+    """AV-validity probe (reference AVideoDataset.py:78-97): the file has
+    BOTH a video and an audio stream, each longer than ``min_duration``
+    seconds (per-stream duration, falling back to the container duration
+    for formats that don't tag streams). Returns True unprobed when no
+    ffprobe binary exists (cannot filter; decode-failure tolerance in the
+    dataset absorbs the stragglers)."""
     import json
     import shutil
 
@@ -417,8 +436,15 @@ def probe_valid(path: str, min_duration: float = 1.1) -> bool:
         meta = json.loads(out)
     except Exception:
         return False
-    has_audio = any(
-        s.get("codec_type") == "audio" for s in meta.get("streams", [])
-    )
-    duration = float(meta.get("format", {}).get("duration", 0.0))
-    return has_audio and duration > min_duration
+    container_dur = float(meta.get("format", {}).get("duration") or 0.0)
+
+    def stream_ok(kind: str) -> bool:
+        for s in meta.get("streams", []):
+            if s.get("codec_type") != kind:
+                continue
+            dur = float(s.get("duration") or container_dur)
+            if dur > min_duration:
+                return True
+        return False
+
+    return stream_ok("video") and stream_ok("audio")

@@ -15,6 +15,7 @@ import concurrent.futures as cf
 import contextlib
 import multiprocessing
 import os
+import time
 from typing import Iterator, Optional
 
 import jax
@@ -120,6 +121,16 @@ class DataLoader:
                     initializer=_process_worker_init,
                     initargs=(self.dataset,),
                 )
+                # ProcessPoolExecutor spawns workers lazily at submit
+                # time — which would be AFTER this context restored the
+                # accelerator env (children inherit os.environ at
+                # process-creation time). Force every worker to spawn
+                # now: each sleeping task occupies a worker, so each
+                # submit spawns a fresh process.
+                cf.wait([
+                    self._pool.submit(time.sleep, 0.2)
+                    for _ in range(self.num_workers)
+                ])
         return self._pool
 
     def close(self):
@@ -162,7 +173,10 @@ class DataLoader:
             else:
                 pad = (-len(order)) % self.world_size
                 if pad:
-                    order = np.concatenate([order, order[:pad]])
+                    # np.resize tiles: a single wrap (order[:pad]) is too
+                    # short when N < world_size/2 and would leave ranks
+                    # with unequal counts — the exact deadlock above
+                    order = np.resize(order, len(order) + pad)
             order = order[self.rank :: self.world_size]
         return order
 

@@ -133,9 +133,10 @@ def spatial_sampling(
 
 def train_scale_range(crop_size: int) -> Tuple[int, int]:
     """Scale-jitter range by crop size (reference AVideoDataset.py:213-217:
-    128-160 for 112 crops, 256-320 for 224 crops)."""
-    if crop_size == 112:
+    (128, 160) for crops in {112, 128}, (256, 320) otherwise)."""
+    if crop_size in (112, 128):
         return 128, 160
-    if crop_size == 224:
+    if crop_size >= 160:
         return 256, 320
+    # small non-reference crops (tests use 32): scale proportionally
     return int(crop_size * 128 / 112), int(crop_size * 160 / 112)

@@ -88,7 +88,7 @@ def _adjust_saturation(x, factor):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("colorjitter", "grayscale", "flip", "dtype"),
+    static_argnames=("colorjitter", "grayscale", "flip", "dtype", "clips"),
 )
 def augment_video_batch(
     frames_u8: jnp.ndarray,
@@ -98,13 +98,22 @@ def augment_video_batch(
     flip: bool = True,
     jitter_strength: float = 0.4,
     dtype=jnp.float32,
+    clips: int = 1,
 ) -> jnp.ndarray:
     """Fused flip + color jitter + grayscale + normalize.
 
     Input uint8 [B, T, H, W, 3]; output normalized ``dtype`` video. Factors
     are drawn per sample (the reference draws per clip too — one factor for
-    all frames of a clip, video_transforms.py:273-363).
+    all frames of a clip, video_transforms.py:273-363). With ``clips`` > 1
+    (dual_data: two clips time-concatenated per sample) every clip draws
+    its own flip/jitter, matching the reference's per-clip
+    ``clip_augmentation`` calls (AVideoDataset.py:431-443).
     """
+    b_in, t_in = frames_u8.shape[0], frames_u8.shape[1]
+    if clips > 1:
+        frames_u8 = frames_u8.reshape(
+            (b_in * clips, t_in // clips) + frames_u8.shape[2:]
+        )
     b = frames_u8.shape[0]
     x = frames_u8.astype(jnp.float32) / 255.0
 
@@ -140,4 +149,7 @@ def augment_video_batch(
         do_gray = jax.random.bernoulli(k_gray, 0.2, (b,))
         x = jnp.where(do_gray[:, None, None, None, None], gray, x)
 
-    return ((x - 0.45) / 0.225).astype(dtype)
+    out = ((x - 0.45) / 0.225).astype(dtype)
+    if clips > 1:
+        out = out.reshape((b_in, t_in) + out.shape[2:])
+    return out

@@ -137,16 +137,19 @@ class Trainer:
         self.state = jax.device_put(self.state, self.state_shardings)
         self.sl_state = SelfLabelState.init(n, args.headcount)
 
+        video_clips = 2 if getattr(args, "dual_data", False) else 1
         self.train_step = make_train_step(
             self.model,
             colorjitter=args.colorjitter,
             grayscale=args.use_grayscale,
             compute_dtype=compute_dtype,
             audio_cfg=self.audio_cfg,
+            video_clips=video_clips,
         )
         self.bn_warmup_step = make_bn_warmup_step(
             self.model, compute_dtype=compute_dtype,
             audio_cfg=self.audio_cfg,
+            video_clips=video_clips,
         )
         # NOTE on conv_impl: the '2d' expression looked 3x faster in a
         # single-conv microbenchmark but is catastrophically slower at SK
@@ -164,6 +167,7 @@ class Trainer:
             augment=self.sk_augment,
             colorjitter=args.colorjitter,
             grayscale=args.use_grayscale,
+            video_clips=video_clips,
         )
         self._agg_rng = jax.random.PRNGKey(args.seed + 2)
         self.head_logits = make_head_logits_fn(self.model)

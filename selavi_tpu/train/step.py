@@ -76,11 +76,14 @@ def make_train_step(
     compute_dtype=jnp.float32,
     donate: bool = True,
     audio_cfg: Optional[dict] = None,
+    video_clips: int = 1,
 ) -> Callable:
     """Returns jitted ``step(state, batch, labels, rng) -> (state, metrics)``.
 
     ``batch['video']`` uint8 [B,T,H,W,3]; ``batch['audio']`` [B,F,T,1]
-    float32; ``labels`` [B, H] int32 pseudo-labels.
+    float32; ``labels`` [B, H] int32 pseudo-labels. ``video_clips`` > 1
+    (dual_data) makes each time-concatenated clip draw independent
+    flips/jitters.
     """
 
     def step(state, batch, labels, rng):
@@ -92,6 +95,7 @@ def make_train_step(
             grayscale=grayscale,
             flip=True,
             dtype=compute_dtype,
+            clips=video_clips,
         )
         audio = prepare_audio(
             batch.get("audio", batch.get("audio_pcm")),
@@ -124,7 +128,8 @@ def make_train_step(
 
 
 def make_bn_warmup_step(
-    model, compute_dtype=jnp.float32, audio_cfg: Optional[dict] = None
+    model, compute_dtype=jnp.float32, audio_cfg: Optional[dict] = None,
+    video_clips: int = 1,
 ) -> Callable:
     """Forward-only pass updating BN running stats
     (reference ``warmup_batchnorm``, /root/reference/utils.py:389-418)."""
@@ -132,7 +137,8 @@ def make_bn_warmup_step(
     @jax.jit
     def warmup(params, batch_stats, video_u8, audio, rng):
         video = augment_video_batch(
-            video_u8, rng, flip=True, dtype=compute_dtype
+            video_u8, rng, flip=True, dtype=compute_dtype,
+            clips=video_clips,
         )
         # FULL forward including heads: the first SK step (iteration 0)
         # applies head BNs in eval mode, so their running stats must be
@@ -175,6 +181,7 @@ def make_encode_fn(
     colorjitter: bool = False,
     grayscale: bool = False,
     audio_channels: Optional[int] = None,
+    video_clips: int = 1,
 ) -> Callable:
     """Eval-mode GAP features for the SK aggregation pass
     (reference sk_utils.py:196-211; eval mode = running BN stats).
@@ -199,6 +206,7 @@ def make_encode_fn(
                 grayscale=grayscale,
                 flip=True,
                 dtype=compute_dtype,
+                clips=video_clips,
             )
             return model.apply(
                 {"params": params, "batch_stats": batch_stats},

@@ -48,6 +48,24 @@ def test_get_spec_contract():
     assert spec2.shape == (1, 40, 99)
 
 
+def test_short_waveform_clamps_to_start_and_pads():
+    """A decode shorter than num_sec must still yield the full static
+    clip shape (start clamped at 0, tail zero-padded) — the reference's
+    ``len(wav) - S`` start goes negative and slices a wrong-length
+    window, crashing collation with ragged shapes."""
+    from selavi_tpu.data.audio import slice_clip_pcm
+
+    rng = np.random.default_rng(1)
+    wav = (rng.standard_normal(23000) * 5000).astype(np.float64)  # < 1 s
+    spec = get_spec(wav, 0.7, num_sec=1, sample_rate=24000,
+                    aud_spec_type=1, rng=rng)
+    assert spec.shape == (1, 40, 99)
+    clip = slice_clip_pcm(wav, 0.7, num_sec=1, sample_rate=24000)
+    assert clip.shape == (24000,)
+    np.testing.assert_array_equal(clip[:23000], wav.astype(np.float32))
+    assert (clip[23000:] == 0).all()
+
+
 def test_device_logfbank_matches_host():
     rng = np.random.default_rng(1)
     pcm = (rng.standard_normal((3, 24000)) * 8000).astype(np.float32)

@@ -37,6 +37,34 @@ def test_augment_flip_only_is_normalize_or_mirror():
         assert ok, b
 
 
+def test_augment_dual_clips_flip_independently():
+    """clips=2 (dual_data): each time-concatenated clip draws its own
+    flip, matching the reference's per-clip clip_augmentation calls —
+    across enough samples/keys the two halves must sometimes disagree."""
+    x = np.random.randint(0, 255, (16, 4, 6, 6, 3), np.uint8)
+    norm = (x.astype(np.float32) / 255.0 - 0.45) / 0.225
+    flipped = norm[:, :, :, ::-1, :]
+    disagree = 0
+    for k in range(4):
+        out = np.asarray(
+            augment_video_batch(
+                jnp.asarray(x), jax.random.PRNGKey(k), clips=2
+            )
+        )
+        for b in range(x.shape[0]):
+            halves = []
+            for h in range(2):
+                sl = slice(2 * h, 2 * h + 2)
+                if np.allclose(out[b, sl], norm[b, sl], atol=1e-5):
+                    halves.append(False)
+                elif np.allclose(out[b, sl], flipped[b, sl], atol=1e-5):
+                    halves.append(True)
+                else:
+                    raise AssertionError((k, b, h))
+            disagree += halves[0] != halves[1]
+    assert disagree > 0
+
+
 def test_augment_colorjitter_grayscale_shapes_and_range():
     x = np.random.randint(0, 255, (8, 2, 6, 6, 3), np.uint8)
     out = np.asarray(
@@ -61,6 +89,8 @@ def test_crops_and_scale_ranges():
     rng = np.random.default_rng(0)
     assert random_crop(frames, 16, rng).shape == (3, 16, 16, 3)
     assert train_scale_range(112) == (128, 160)
+    # reference treats 128 crops like 112 (AVideoDataset.py:213-215)
+    assert train_scale_range(128) == (128, 160)
     assert train_scale_range(224) == (256, 320)
 
 
@@ -202,3 +232,22 @@ def test_loader_equal_batch_counts_all_remainders():
                 assert len(set(counts)) == 1, (n, batch_size, drop_last)
                 if not drop_last and batch_size == 1:
                     assert covered == set(range(n))
+
+
+def test_loader_equal_counts_dataset_smaller_than_world():
+    """N < world_size (even < world_size/2): wrap padding must TILE the
+    permutation — a single wrap left some ranks with zero indices."""
+    world_size = 8
+    for n in (1, 2, 3, 5):
+        ds = _StubDataset(n)
+        counts = []
+        for rank in range(world_size):
+            loader = DataLoader(
+                ds, batch_size=1, shuffle=True, seed=3,
+                drop_last=False, rank=rank, world_size=world_size,
+            )
+            loader.set_epoch(0)
+            batches = list(loader)
+            assert len(batches) == len(loader), (n, rank)
+            counts.append(len(batches))
+        assert set(counts) == {1}, (n, counts)
