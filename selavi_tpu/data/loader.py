@@ -279,6 +279,27 @@ class DataLoader:
                     yield self._collate([f.result() for f in futs])
 
 
+def _batch_sharding(x, sharding):
+    """``sharding`` unless the leading dim doesn't divide the data axis
+    (the ragged final batch of a drop_last=False eval loader):
+    ``device_put`` rejects uneven shards, so the tail batch is replicated
+    instead — every consumer works unchanged at the cost of duplicated
+    compute on that one batch."""
+    if sharding is None:
+        return None
+    try:
+        axes = tuple(
+            a
+            for axis in sharding.spec
+            if axis is not None
+            for a in ((axis,) if isinstance(axis, str) else tuple(axis))
+        )
+        n = int(np.prod([sharding.mesh.shape[a] for a in axes] or [1]))
+    except AttributeError:  # not a NamedSharding; let device_put decide
+        return sharding
+    return sharding if x.shape[0] % n == 0 else None
+
+
 def device_prefetch(
     batch_iter: Iterator[dict],
     sharding=None,
@@ -289,7 +310,8 @@ def device_prefetch(
 
     With ``mesh`` given, batches are assembled as globally-sharded arrays
     from per-process shards (multi-host pods); otherwise a plain
-    device_put with ``sharding``.
+    device_put with ``sharding`` (ragged tail batches are replicated, see
+    ``_batch_sharding``).
     """
     queue: collections.deque = collections.deque()
 
@@ -300,7 +322,9 @@ def device_prefetch(
             return global_batch_from_local(mesh, b)
         if sharding is None:
             return jax.tree.map(jax.device_put, b)
-        return jax.tree.map(lambda x: jax.device_put(x, sharding), b)
+        return jax.tree.map(
+            lambda x: jax.device_put(x, _batch_sharding(x, sharding)), b
+        )
 
     for batch in batch_iter:
         queue.append(put(batch))
@@ -397,7 +421,7 @@ def coalesced_device_batches(
             return jax.make_array_from_process_local_data(
                 data_sharding(mesh), buf
             )
-        return jax.device_put(buf, sharding)
+        return jax.device_put(buf, _batch_sharding(buf, sharding))
 
     for batch in batch_iter:
         if unpack is None:

@@ -127,32 +127,35 @@ def make_finetune_optimizer(
 ) -> optax.GradientTransformation:
     """Two param groups by top-level name: 'classifier' vs everything else."""
 
+    # host-side python is not allowed inside a jitted schedule; build the
+    # per-epoch factor table once and index it.
+    table = jnp.asarray(
+        [
+            finetune_lr_factor(
+                int(e),
+                cfg.lr_warmup_epochs,
+                cfg.lr_milestones,
+                cfg.lr_gamma,
+                use_scheduler=cfg.use_scheduler,
+            )
+            for e in range(cfg.epochs + 1)
+        ],
+        jnp.float32,
+    )
+
     def factor(step):
-        # host-side python in schedule is not allowed under jit; build a
-        # piecewise-constant factor per epoch instead.
         epoch = step // max(batches_per_epoch, 1)
-        epochs = jnp.arange(cfg.epochs + 1)
-        table = jnp.asarray(
-            [
-                finetune_lr_factor(
-                    int(e),
-                    cfg.lr_warmup_epochs,
-                    cfg.lr_milestones,
-                    cfg.lr_gamma,
-                    use_scheduler=cfg.use_scheduler,
-                )
-                for e in range(cfg.epochs + 1)
-            ],
-            jnp.float32,
-        )
-        del epochs
         return table[jnp.clip(epoch, 0, cfg.epochs)]
 
     def group_tx(lr, wd):
         if cfg.optim_name == "adam":
+            # coupled L2 (torch.optim.Adam, reference
+            # finetune_video.py:238-243): wd*param joins the RAW gradient
+            # before the moment estimates — decayed-weights-after-Adam
+            # would be AdamW, a different regularizer
             return optax.chain(
-                optax.scale_by_adam(),
                 optax.add_decayed_weights(wd),
+                optax.scale_by_adam(),
                 optax.scale_by_schedule(lambda s: -lr * factor(s)),
             )
         return optax.chain(
@@ -162,13 +165,18 @@ def make_finetune_optimizer(
         )
 
     def label_fn(params):
-        return jax.tree.map_with_path(
-            lambda path, _: (
-                "head" if path and getattr(path[0], "key", "") == "classifier"
-                else ("frozen" if cfg.feature_extract else "base")
-            ),
-            params,
-        )
+        def lab(path, _):
+            key = getattr(path[0], "key", "") if path else ""
+            if key == "classifier":
+                return "head"
+            if key == "final_bn":
+                # the reference's param groups cover only classifier.* and
+                # base.* (finetune_video.py:148-172): final_bn's affine
+                # params never enter the optimizer, i.e. stay frozen
+                return "frozen"
+            return "frozen" if cfg.feature_extract else "base"
+
+        return jax.tree.map_with_path(lab, params)
 
     return optax.multi_transform(
         {

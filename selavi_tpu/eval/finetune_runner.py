@@ -51,6 +51,18 @@ def run_fold(
     args, fold: int, writer=None, dataset=None, dataset_test=None
 ) -> tuple[float, float, int]:
     """Train + evaluate one fold; returns (best vid acc@1, acc@5, epoch)."""
+    if (
+        args.dataset not in NUM_CLASSES
+        and args.dataset != "synthetic"  # class count set below
+        and not hasattr(args, "num_classes")
+    ):
+        # reference finetune_video.py:137 KeyErrors here too — a silent
+        # 101-class default would train garbage on e.g. vggsound labels
+        raise ValueError(
+            f"finetune class count unknown for dataset "
+            f"'{args.dataset}' (known: {sorted(NUM_CLASSES)}); "
+            "pass a dataset with a defined class count"
+        )
     cfg = FinetuneConfig(
         num_classes=NUM_CLASSES.get(
             args.dataset, getattr(args, "num_classes", 101)

@@ -46,10 +46,24 @@ def dump_cluster_matrices(
     ps_v = np.asarray(head_logits_fn(feats_v, "v"))  # [H, N, K]
     ps_a = np.asarray(head_logits_fn(feats_a, "a"))
 
+    # the reference's clustering_metrics.py calls .cpu()/F.softmax on the
+    # dump entries, so a truly cross-checkable pickle must hold torch
+    # tensors; our own evaluate_dump reads either via np.asarray
+    try:
+        import torch
+
+        def wrap(a):
+            # copy: torch rejects the non-writable views flax restores
+            return torch.from_numpy(np.array(a, copy=True))
+    except ImportError:  # torch-less host: numpy-only dump
+
+        def wrap(a):
+            return a
+
     payload = [
-        [ps_v[h] for h in range(ps_v.shape[0])],
-        labels,
-        [ps_a[h] for h in range(ps_a.shape[0])],
+        [wrap(ps_v[h]) for h in range(ps_v.shape[0])],
+        wrap(labels),
+        [wrap(ps_a[h]) for h in range(ps_a.shape[0])],
     ]
     with open(out_path, "wb") as f:
         pickle.dump(payload, f)

@@ -46,11 +46,26 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        path = _LIB if os.path.exists(_LIB) else _build()
+        # rebuild when the source is newer than the binary: the .so is a
+        # local build artifact (git-ignored; -march=native makes it
+        # host-specific), never a shippable file
+        fresh = os.path.exists(_LIB) and (
+            os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)
+        )
+        path = _LIB if fresh else _build()
         if path is None:
             _build_failed = True
             return None
-        lib = ctypes.CDLL(path)
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            # stale/foreign binary (wrong ISA, truncated): rebuild once
+            os.remove(path)
+            path = _build()
+            if path is None:
+                _build_failed = True
+                return None
+            lib = ctypes.CDLL(path)
         lib.selavi_logfbank_batch.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_double), ctypes.c_int,

@@ -251,3 +251,31 @@ def test_loader_equal_counts_dataset_smaller_than_world():
             assert len(batches) == len(loader), (n, rank)
             counts.append(len(batches))
         assert set(counts) == {1}, (n, counts)
+
+
+def test_device_prefetch_replicates_ragged_tail():
+    """A drop_last=False eval loader's final batch can be smaller than
+    the data axis; device_put rejects uneven shards, so the tail batch
+    must fall back to replication instead of crashing the eval run
+    (observed: UCF retrieval, 9537 videos @ bs 32 -> tail of 1 on 8
+    chips)."""
+    from selavi_tpu.data.loader import coalesced_device_batches
+    from selavi_tpu.parallel.mesh import data_sharding, make_mesh
+
+    mesh = make_mesh()
+    dsh = data_sharding(mesh)
+    n_dev = mesh.devices.size
+
+    def batches():
+        yield {"video": np.zeros((n_dev, 3), np.float32),
+               "index": np.arange(n_dev, dtype=np.int32)}
+        yield {"video": np.zeros((1, 3), np.float32),
+               "index": np.zeros(1, np.int32)}
+
+    out = list(device_prefetch(batches(), sharding=dsh))
+    assert len(out) == 2
+    assert len(out[0]["video"].sharding.device_set) == n_dev
+    assert out[1]["video"].shape == (1, 3)  # replicated tail, no error
+
+    out2 = list(coalesced_device_batches(batches(), sharding=dsh))
+    assert len(out2) == 2 and out2[1]["video"].shape == (1, 3)

@@ -93,6 +93,22 @@ def build_datasets(args):
 
 def main(argv=None):
     args = parse_args(argv)
+
+    # feature cache first (reference retrieval_utils.py:260-315
+    # load_or_get_features): a hit skips dataset scanning, model build,
+    # and checkpoint load entirely — the cache exists so re-runs work on
+    # machines without the raw video tree
+    feats = None
+    if args.feature_cache:
+        import os
+
+        if os.path.isfile(args.feature_cache):
+            with open(args.feature_cache, "rb") as fh:
+                feats = pickle.load(fh)
+            print(f"loaded cached features from {args.feature_cache}")
+    if feats is not None:
+        return _retrieval_report(args, feats)
+
     train_ds, test_ds = build_datasets(args)
 
     model = load_model(
@@ -125,45 +141,39 @@ def main(argv=None):
     def encode_fn(video):
         return encode(state.params, state.batch_stats, video)
 
-    # optional feature cache (reference retrieval_utils.py:260-315
-    # load_or_get_features): load if present, else compute and save
-    feats = None
+    feats = {}
+    for split, ds in (("train", train_ds), ("val", test_ds)):
+        loader = DataLoader(ds, batch_size=args.batch_size,
+                            shuffle=False, drop_last=False,
+                            num_workers=args.workers)
+        from selavi_tpu.data.loader import decode_wire_batches
+
+        out = collect_features(
+            encode_fn,
+            decode_wire_batches(
+                device_prefetch(iter(loader), sharding=dsh)
+            ),
+            audio_encode_fn=audio_encode,
+        )
+        f, v, l = out[:3]
+        feats[split] = average_features(
+            f, v, l, norm_feats=args.norm_feats
+        )
+        if need_audio:
+            af, av, al = average_features(
+                out[3], v, l, norm_feats=args.norm_feats
+            )
+            feats[split + "_audio"] = (af, av, al)
     if args.feature_cache:
-        import os
+        # one dump of the FULL dict (incl. *_audio entries) — a second
+        # trimmed dump here would strip the audio features a later a-v
+        # run needs
+        with open(args.feature_cache, "wb") as fh:
+            pickle.dump(feats, fh)
+    return _retrieval_report(args, feats)
 
-        if os.path.isfile(args.feature_cache):
-            with open(args.feature_cache, "rb") as fh:
-                feats = pickle.load(fh)
-            print(f"loaded cached features from {args.feature_cache}")
 
-    if feats is None:
-        feats = {}
-        for split, ds in (("train", train_ds), ("val", test_ds)):
-            loader = DataLoader(ds, batch_size=args.batch_size,
-                                shuffle=False, drop_last=False,
-                                num_workers=args.workers)
-            from selavi_tpu.data.loader import decode_wire_batches
-
-            out = collect_features(
-                encode_fn,
-                decode_wire_batches(
-                    device_prefetch(iter(loader), sharding=dsh)
-                ),
-                audio_encode_fn=audio_encode,
-            )
-            f, v, l = out[:3]
-            feats[split] = average_features(
-                f, v, l, norm_feats=args.norm_feats
-            )
-            if need_audio:
-                af, av, al = average_features(
-                    out[3], v, l, norm_feats=args.norm_feats
-                )
-                feats[split + "_audio"] = (af, av, al)
-        if args.feature_cache:
-            with open(args.feature_cache, "wb") as fh:
-                pickle.dump(feats, fh)
-
+def _retrieval_report(args, feats):
     from selavi_tpu.eval.retrieval import select_task_features
 
     tf, _, tl = feats["train"]
@@ -172,9 +182,6 @@ def main(argv=None):
     va = feats.get("val_audio", (None,))[0]
     feat_train, feat_val = select_task_features(args.task, tf, ta, vf, va)
     recalls = retrieval(feat_train, tl, feat_val, vl)
-    if args.feature_cache:
-        with open(args.feature_cache, "wb") as fh:
-            pickle.dump({"train": feats["train"], "val": feats["val"]}, fh)
     print({f"R@{k}": round(v, 2) for k, v in recalls.items()})
     return recalls
 
