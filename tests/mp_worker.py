@@ -20,6 +20,10 @@ def main():
 
     import jax
 
+    # persistent compile cache: the second parametrized case (and reruns)
+    # skip the expensive CPU model compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_mp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.distributed.initialize(
         f"localhost:{port}", num_processes=nproc, process_id=pid
     )
@@ -154,8 +158,52 @@ def main():
     assert metrics["nmi_vs_gt"] > 0.5, metrics
     digest = int(np.asarray(labels2, np.int64).sum())
 
+    # the full jitted train step across the 2-process mesh: replicated
+    # params, process-assembled global batch, GSPMD grad psum spanning
+    # hosts — the multi-process analog of dryrun_multichip. Run once (the
+    # even-N case); the odd-N case exercises only the loader/SK paths.
+    if n_samples % 2:
+        print(f"MP_OK pid={pid} batches={len(batches)} "
+              f"sk_iters={int(res.iters)} nmi={metrics['nmi_vs_gt']:.3f} "
+              f"loss=skipped wsum=skipped digest={digest}", flush=True)
+        return
+
+    from selavi_tpu.models import load_model
+    from selavi_tpu.parallel.mesh import replicated_sharding
+    from selavi_tpu.train.optim import make_optimizer
+    from selavi_tpu.train.state import create_train_state
+    from selavi_tpu.train.step import make_train_step
+
+    model = load_model(headcount=2, num_classes=4)
+    tx = make_optimizer(0.01, 1e-6, multiplier=float(n_dev),
+                        warmup_epochs=1, batches_per_epoch=2)
+    rng_j = jax.random.PRNGKey(0)
+    state = create_train_state(
+        model, tx, rng_j, (2, 4, 32, 32, 3), (2, 40, 51, 1)
+    )
+    state = jax.device_put(state, replicated_sharding(mesh))
+    local_bs = n_dev // nproc
+    tb = global_batch_from_local(mesh, {
+        "video": np.full((local_bs, 4, 32, 32, 3), 30, np.uint8),
+        "audio": np.zeros((local_bs, 40, 51, 1), np.float32),
+        "labels": np.zeros((local_bs, 2), np.int32),
+    })
+    step = make_train_step(model, donate=False)
+    with mesh:
+        state2, m2 = step(
+            state, {"video": tb["video"], "audio": tb["audio"]},
+            tb["labels"], rng_j,
+        )
+    train_loss = float(m2["loss"])
+    assert np.isfinite(train_loss), m2
+    # one replicated param leaf, reduced to a digest every process must
+    # agree on (GSPMD keeps replicas bit-identical)
+    w = jax.tree.leaves(state2.params)[0]
+    wsum = float(jnp.sum(jnp.abs(w.astype(jnp.float32))))
+
     print(f"MP_OK pid={pid} batches={len(batches)} "
           f"sk_iters={int(res.iters)} nmi={metrics['nmi_vs_gt']:.3f} "
+          f"loss={train_loss:.6f} wsum={wsum:.6f} "
           f"digest={digest}", flush=True)
 
 

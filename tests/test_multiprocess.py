@@ -48,7 +48,7 @@ def test_two_process_loader_and_sharded_sk(n_samples):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -56,10 +56,15 @@ def test_two_process_loader_and_sharded_sk(n_samples):
                 "multi-process run deadlocked (per-rank batch-count skew?)"
             )
         outs.append(out)
-    digests = []
+    digests, losses, wsums = [], [], []
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"pid {pid} failed:\n{out}"
         assert "MP_OK" in out, out
         digests.append(out.split("digest=")[1].split()[0])
+        losses.append(out.split("loss=")[1].split()[0])
+        wsums.append(out.split("wsum=")[1].split()[0])
     # both processes computed identical selflabels (SPMD consistency)
     assert digests[0] == digests[1], digests
+    # and the cross-process train step kept loss + params bit-identical
+    assert losses[0] == losses[1], losses
+    assert wsums[0] == wsums[1], wsums
