@@ -20,27 +20,40 @@ import numpy as np
 
 
 def resize_frames(frames: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
-    """Bilinear THWC uint8 resize: C++ data runtime when built (threaded,
-    ~an order of magnitude faster than per-frame PIL), PIL otherwise."""
+    """Bilinear THWC uint8 resize matching the reference's
+    ``F.interpolate(mode='bilinear', align_corners=False)`` (2-tap,
+    half-pixel centers, NO antialias — torch's default; PIL.BILINEAR
+    would area-average on downscale, a different augmentation
+    distribution). C++ data runtime when built (threaded), vectorized
+    numpy with identical semantics otherwise."""
     from selavi_tpu import native
 
     if native.available():
-        return native.resize_bilinear_u8(frames, new_h, new_w)
+        # nthreads=1: this runs per sample inside already-parallel loader
+        # workers — per-call thread pools would oversubscribe the host
+        return native.resize_bilinear_u8(frames, new_h, new_w, nthreads=1)
     return _resize_frames(frames, new_h, new_w)
 
 
 def _resize_frames(frames: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
-    from PIL import Image
-
-    t = frames.shape[0]
-    out = np.empty((t, new_h, new_w, frames.shape[3]), np.uint8)
-    for i in range(t):
-        out[i] = np.asarray(
-            Image.fromarray(frames[i]).resize(
-                (new_w, new_h), Image.BILINEAR
-            )
-        )
-    return out
+    """Numpy twin of the C++ kernel (data_runtime.cpp
+    selavi_resize_bilinear_u8): same taps, clamps, and rounding."""
+    t, h, w, c = frames.shape
+    fy = (np.arange(new_h) + 0.5) * (h / new_h) - 0.5
+    fx = (np.arange(new_w) + 0.5) * (w / new_w) - 0.5
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    wy = (fy - y0).astype(np.float64)[None, :, None, None]
+    wx = (fx - x0).astype(np.float64)[None, None, :, None]
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    y0 = np.clip(y0, 0, h - 1)
+    x0 = np.clip(x0, 0, w - 1)
+    f = frames.astype(np.float64)
+    top = f[:, y0][:, :, x0] * (1 - wx) + f[:, y0][:, :, x1] * wx
+    bot = f[:, y1][:, :, x0] * (1 - wx) + f[:, y1][:, :, x1] * wx
+    v = top * (1 - wy) + bot * wy
+    return np.clip(v + 0.5, 0, 255).astype(np.uint8)
 
 
 def random_short_side_scale_jitter(

@@ -27,15 +27,25 @@ _build_failed = False
 
 
 def _build() -> Optional[str]:
+    # compile to a per-pid temp name, then atomically rename: concurrent
+    # processes (loader workers, a train + eval job) may race to build —
+    # writing _LIB directly would let one process CDLL a half-written
+    # binary another is still emitting
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-o", _LIB, _SRC, "-lpthread",
+        "-o", tmp, _SRC, "-lpthread",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _LIB)
         return _LIB
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
         logger.warning("native build failed (%s); using numpy fallbacks", e)
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return None
 
 
@@ -59,13 +69,26 @@ def _load() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(path)
         except OSError:
-            # stale/foreign binary (wrong ISA, truncated): rebuild once
-            os.remove(path)
+            # stale/foreign binary (wrong ISA, truncated): rebuild once;
+            # any further failure falls back to numpy (the module
+            # contract), never propagates out of available()
+            try:
+                os.remove(path)
+            except OSError:
+                pass  # a sibling process may have removed it already
             path = _build()
             if path is None:
                 _build_failed = True
                 return None
-            lib = ctypes.CDLL(path)
+            try:
+                lib = ctypes.CDLL(path)
+            except OSError as e:
+                logger.warning(
+                    "native library unloadable after rebuild (%s); "
+                    "using numpy fallbacks", e,
+                )
+                _build_failed = True
+                return None
         lib.selavi_logfbank_batch.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_double), ctypes.c_int,
@@ -121,6 +144,7 @@ def logfbank_batch_native(
                 logfbank(
                     pcm[i].astype(np.float64), samplerate,
                     winlen=winlen, winstep=winstep, nfilt=nfilt, nfft=nfft,
+                    preemph=preemph,
                 ).T
                 for i in range(b)
             ]

@@ -11,7 +11,9 @@
 //     eps-floored log, threaded over the batch. Semantics match
 //     selavi_tpu.data.audio.logfbank (parity-tested).
 //   * selavi_resize_bilinear_u8: THWC uint8 bilinear resize (the loader's
-//     scale-jitter resize; replaces per-frame PIL), threaded over frames.
+//     scale-jitter resize), threaded over frames. Semantics match the
+//     reference's torch F.interpolate(mode="bilinear",
+//     align_corners=false): 2-tap, half-pixel centers, no antialias.
 //
 // C ABI only; bound from Python with ctypes (no pybind11 dependency).
 
@@ -125,8 +127,9 @@ void selavi_logfbank_batch(const float* pcm, int batch, int slen, int sr,
   });
 }
 
-// in [T, H, W, C] uint8 -> out [T, newH, newW, C] uint8, PIL-style bilinear
-// (half-pixel centers, edge clamp), threaded over frames.
+// in [T, H, W, C] uint8 -> out [T, newH, newW, C] uint8, 2-tap bilinear
+// (half-pixel centers, edge clamp, no antialias — torch F.interpolate
+// semantics, like the reference), threaded over frames.
 void selavi_resize_bilinear_u8(const uint8_t* in, int t, int h, int w, int c,
                                uint8_t* out, int new_h, int new_w,
                                int nthreads) {

@@ -87,7 +87,12 @@ def logfbank_batch(
     feat = jnp.einsum(
         "bfk,kn->bfn", pspec, fb, preferred_element_type=jnp.float32
     )
-    feat = jnp.log(jnp.maximum(feat, jnp.finfo(jnp.float32).tiny))
+    # floor at float64 eps to match the host/native frontends (they
+    # replace zero-energy bins with np.finfo(float64).eps before the log,
+    # audio.py:133 / data_runtime.cpp:87): log(eps64) = -36.04. Flooring
+    # at float32 tiny instead gives -87.3 — a ~51-unit skew on silent or
+    # zero-padded frames that shifts the z-normed feature distribution.
+    feat = jnp.log(jnp.maximum(feat, jnp.float32(2.220446049250313e-16)))
     out = jnp.transpose(feat, (0, 2, 1))  # [B, nfilt, F]
     if z_normalize:
         out = (out - 1.93) / 17.89

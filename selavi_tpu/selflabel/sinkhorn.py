@@ -90,29 +90,32 @@ def sinkhorn_knopp(
     log_beta0 = jnp.full((n,), -jnp.log(jnp.float32(n)), jnp.float32)
 
     def cond(state):
-        _, _, err, it = state
-        return jnp.logical_and(err > tol, it < max_iters)
+        return jnp.logical_and(state[-2] > tol, state[-1] < max_iters)
 
     if use_pallas:
         # fused single-sweep iteration (selavi_tpu.ops.sinkhorn_pallas):
         # beta_{i+1} from alpha_i and alpha_{i+1} from beta_{i+1} in one
-        # pass over M — same fixed point, half the HBM traffic.
+        # pass over M — the beta chain is IDENTICAL to the XLA loop's
+        # (beta_{i+1} = g(f(beta_i)) in both), but the fused alpha runs a
+        # half-step ahead. The state carries the previous alpha so the
+        # final argmax pairs with the same alpha the reference/XLA loop
+        # stops on (f(beta_{T-1})) — backends produce identical labels.
         from selavi_tpu.ops.sinkhorn_pallas import fused_sk_iteration
 
         def body(state):
-            log_alpha, log_beta, err, it = state
+            _, log_alpha, log_beta, err, it = state
             log_alpha_next, log_beta_new, err_new = fused_sk_iteration(
                 m, log_alpha, log_beta, log_r, interpret=interpret
             )
             err = jax.lax.cond(
                 it % check_every == 0, lambda: err_new, lambda: err
             )
-            return log_alpha_next, log_beta_new, err, it + 1
+            return log_alpha, log_alpha_next, log_beta_new, err, it + 1
 
     else:
 
         def body(state):
-            _, log_beta, err, it = state
+            _, _, log_beta, err, it = state
             # alpha update: log_alpha[k] = log_r[k] - LSE_n(M + log_beta)
             log_alpha = log_r - _logsumexp(m + log_beta[:, None], axis=0)
             # beta update: log_beta[n] = log_c - LSE_k(M + log_alpha)
@@ -127,11 +130,15 @@ def sinkhorn_knopp(
                 ),
                 lambda: err,
             )
-            return log_alpha, log_beta_new, err, it + 1
+            return log_alpha, log_alpha, log_beta_new, err, it + 1
 
     log_alpha0 = log_r - _logsumexp(m + log_beta0[:, None], axis=0)
-    state0 = (log_alpha0, log_beta0, jnp.float32(1e6), jnp.int32(0))
-    log_alpha, log_beta, err, iters = jax.lax.while_loop(cond, body, state0)
+    state0 = (
+        log_alpha0, log_alpha0, log_beta0, jnp.float32(1e6), jnp.int32(0)
+    )
+    log_alpha, _, log_beta, err, iters = jax.lax.while_loop(
+        cond, body, state0
+    )
 
     # Row argmax of diag(beta) PS diag(alpha): beta is constant per row,
     # so labels = argmax_k (M + log_alpha).
@@ -140,8 +147,10 @@ def sinkhorn_knopp(
 
     # Reference cost: -(1/lamb) * nansum(log PS_sk[n, L[n]]) / N where
     # PS_sk = PS ** (lambda/2), i.e. log PS_sk = M.
+    # fp32 accumulation: with bf16 M storage a bf16 sum over 10^5+ rows
+    # loses the cost to mantissa truncation
     picked = jnp.take_along_axis(m, labels[:, None], axis=1)[:, 0]
-    cost = -(1.0 / lamb) * jnp.sum(picked) / n
+    cost = -(1.0 / lamb) * jnp.sum(picked.astype(jnp.float32)) / n
     return SinkhornResult(labels, cost, err, iters)
 
 
