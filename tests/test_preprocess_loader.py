@@ -279,3 +279,35 @@ def test_device_prefetch_replicates_ragged_tail():
 
     out2 = list(coalesced_device_batches(batches(), sharding=dsh))
     assert len(out2) == 2 and out2[1]["video"].shape == (1, 3)
+
+
+def test_loader_index_math_fuzz():
+    """Randomized sweep of (N, world_size, batch_size, drop_last):
+    equal per-rank batch counts, exact __len__, full coverage without
+    drop_last, and only valid indices — the SPMD contract under any
+    configuration."""
+    rng = np.random.default_rng(123)
+    for _ in range(40):
+        n = int(rng.integers(1, 40))
+        world = int(rng.integers(1, 9))
+        bs = int(rng.integers(1, 6))
+        drop_last = bool(rng.integers(0, 2))
+        ds = _StubDataset(n)
+        seed = int(rng.integers(0, 100))  # shared across ranks
+        counts, covered = [], set()
+        for rank in range(world):
+            loader = DataLoader(
+                ds, batch_size=bs, shuffle=True, seed=seed,
+                drop_last=drop_last, rank=rank, world_size=world,
+            )
+            loader.set_epoch(int(n + world))
+            batches = list(loader)
+            assert len(batches) == len(loader), (n, world, bs, drop_last)
+            counts.append(len(batches))
+            for b in batches:
+                idx = [int(i) for i in b["index"]]
+                assert all(0 <= i < n for i in idx)
+                covered.update(idx)
+        assert len(set(counts)) == 1, (n, world, bs, drop_last, counts)
+        if not drop_last and bs == 1:
+            assert covered == set(range(n)), (n, world)
