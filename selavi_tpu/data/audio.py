@@ -199,7 +199,10 @@ def _clip_window(
     window from the end) and zero-pads short waveforms at the tail so
     downstream shapes stay static."""
     target = int(sample_rate * num_sec)
-    fr_aud = int(np.round(fr_sec * sample_rate))
+    # clamp at 0 FIRST: temporal jittering makes fr_sec negative near
+    # t=0, and a negative python slice start wraps around to an empty
+    # clip (which the zero-pad would then silently turn into all-silence)
+    fr_aud = max(int(np.round(fr_sec * sample_rate)), 0)
     if fr_aud + target > len(wav):
         fr_aud = max(len(wav) - target, 0)
     clip = wav[fr_aud : fr_aud + target]

@@ -17,7 +17,6 @@ spatial transforms and spectrograms are applied downstream.
 
 from __future__ import annotations
 
-import functools
 import math
 import subprocess
 from typing import Optional, Tuple
@@ -168,13 +167,27 @@ def decode_pyav(
     return clip_frames, fps, start_sec
 
 
-@functools.lru_cache(maxsize=4096)
+_probe_cache: dict = {}
+
+
 def probe_video_meta(path: str) -> Optional[dict]:
     """ffprobe width/height/fps/duration of the first video stream.
 
-    Cached per path: the metadata is static for a training run, and the
-    ffmpeg decode path would otherwise spawn a fresh ffprobe for every
-    clip of every epoch (callers treat the dict as read-only)."""
+    Successful probes are cached per path (the metadata is static for a
+    training run, and the ffmpeg decode path would otherwise spawn a
+    fresh ffprobe for every clip of every epoch). Failures are NOT
+    cached — a transient ffprobe hiccup must not blacklist a valid file
+    for the whole run. Returns a fresh copy each call."""
+    cached = _probe_cache.get(path)
+    if cached is not None:
+        return dict(cached)
+    meta = _probe_video_meta_uncached(path)
+    if meta is not None and len(_probe_cache) < 100_000:
+        _probe_cache[path] = meta
+    return dict(meta) if meta is not None else None
+
+
+def _probe_video_meta_uncached(path: str) -> Optional[dict]:
     import json
     import shutil
 

@@ -282,9 +282,9 @@ class DataLoader:
 def _batch_sharding(x, sharding):
     """``sharding`` unless the leading dim doesn't divide the data axis
     (the ragged final batch of a drop_last=False eval loader):
-    ``device_put`` rejects uneven shards, so the tail batch is replicated
-    instead — every consumer works unchanged at the cost of duplicated
-    compute on that one batch."""
+    ``device_put`` rejects uneven shards, so the tail batch is left on
+    the default device instead (jit replicates it on use) — every
+    consumer works unchanged at the cost of one unsharded batch."""
     if sharding is None:
         return None
     try:
@@ -416,10 +416,16 @@ def coalesced_device_batches(
     def put(b):
         buf = co.pack(b)
         if mesh is not None and jax.process_count() > 1:
-            from selavi_tpu.parallel.mesh import data_sharding
+            from selavi_tpu.parallel.mesh import (
+                data_sharding,
+                pad_local_rows,
+            )
 
+            per_proc = max(
+                mesh.shape["data"] // jax.process_count(), 1
+            )
             return jax.make_array_from_process_local_data(
-                data_sharding(mesh), buf
+                data_sharding(mesh), pad_local_rows(buf, per_proc)
             )
         return jax.device_put(buf, _batch_sharding(buf, sharding))
 

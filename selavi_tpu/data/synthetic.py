@@ -111,10 +111,16 @@ class SyntheticAVDataset:
             return clip
 
         # dual_data: two independently sampled clips of the same "video",
-        # concatenated along time (reference AVideoDataset.py:431-451)
+        # concatenated along time (reference AVideoDataset.py:431-451).
+        # Clip 0 draws no extra RNG so the non-dual stream (and the
+        # seed-keyed quality records in BASELINE.md) stays bit-identical.
         video = np.concatenate(
             [
-                one_clip(self._phase[idx] + k * rng.uniform(0, 2 * np.pi))
+                one_clip(
+                    self._phase[idx]
+                    if k == 0
+                    else self._phase[idx] + rng.uniform(0, 2 * np.pi)
+                )
                 for k in range(num_clips)
             ],
             axis=0,

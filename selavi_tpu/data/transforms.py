@@ -50,8 +50,9 @@ def _resize_frames(frames: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
     y0 = np.clip(y0, 0, h - 1)
     x0 = np.clip(x0, 0, w - 1)
     f = frames.astype(np.float64)
-    top = f[:, y0][:, :, x0] * (1 - wx) + f[:, y0][:, :, x1] * wx
-    bot = f[:, y1][:, :, x0] * (1 - wx) + f[:, y1][:, :, x1] * wx
+    fy0, fy1 = f[:, y0], f[:, y1]
+    top = fy0[:, :, x0] * (1 - wx) + fy0[:, :, x1] * wx
+    bot = fy1[:, :, x0] * (1 - wx) + fy1[:, :, x1] * wx
     v = top * (1 - wy) + bot * wy
     return np.clip(v + 0.5, 0, 255).astype(np.uint8)
 
@@ -146,10 +147,13 @@ def spatial_sampling(
 
 def train_scale_range(crop_size: int) -> Tuple[int, int]:
     """Scale-jitter range by crop size (reference AVideoDataset.py:213-217:
-    (128, 160) for crops in {112, 128}, (256, 320) otherwise)."""
+    (128, 160) for crops in {112, 128}, (256, 320) for every other crop
+    the reference accepts). Crops below 112 only exist in this repo's
+    tests/synthetic configs; they scale the 112 range proportionally —
+    documented deviation (the reference would upscale a 32-crop from a
+    256-320 short side)."""
     if crop_size in (112, 128):
         return 128, 160
-    if crop_size >= 160:
+    if crop_size >= 112:
         return 256, 320
-    # small non-reference crops (tests use 32): scale proportionally
     return int(crop_size * 128 / 112), int(crop_size * 160 / 112)

@@ -60,7 +60,8 @@ def _load() -> Optional[ctypes.CDLL]:
         # local build artifact (git-ignored; -march=native makes it
         # host-specific), never a shippable file
         fresh = os.path.exists(_LIB) and (
-            os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)
+            not os.path.exists(_SRC)  # .so-only deployment: trust it
+            or os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)
         )
         path = _LIB if fresh else _build()
         if path is None:

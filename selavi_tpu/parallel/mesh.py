@@ -113,6 +113,23 @@ def _replicate_fn(sharding):
     return jax.jit(lambda a: a, out_shardings=sharding)
 
 
+def pad_local_rows(x: np.ndarray, multiple: int) -> np.ndarray:
+    """Pad the leading dim up to a multiple by repeating the last row.
+
+    ``make_array_from_process_local_data`` rejects shard sizes that don't
+    divide the data axis, so the ragged tail batch of a drop_last=False
+    loader (equal across processes, but not a multiple of
+    devices-per-process) must be padded. Duplicated rows are harmless for
+    the multi-host consumers: SK feature aggregation scatters by sample
+    index (idempotent), and training loaders use drop_last=True."""
+    rows = x.shape[0]
+    pad = (-rows) % multiple
+    if not pad:
+        return x
+    reps = np.repeat(x[-1:], pad, axis=0)
+    return np.concatenate([x, reps], axis=0)
+
+
 def global_batch_from_local(mesh: Mesh, local_batch: dict) -> dict:
     """Assemble a globally-sharded batch from per-host shards.
 
@@ -120,12 +137,15 @@ def global_batch_from_local(mesh: Mesh, local_batch: dict) -> dict:
     process contributes its local arrays as its address-local shards of the
     global batch (``jax.make_array_from_process_local_data``) — the TPU-pod
     replacement for the reference's DistributedSampler per-rank subsets
-    (/root/reference/main.py:93-101).
-    """
+    (/root/reference/main.py:93-101). Ragged tail batches are padded per
+    process (``pad_local_rows``)."""
     s = data_sharding(mesh)
     if jax.process_count() == 1:
         return jax.tree.map(lambda x: jax.device_put(x, s), local_batch)
+    per_proc = max(mesh.shape["data"] // jax.process_count(), 1)
     return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        lambda x: jax.make_array_from_process_local_data(
+            s, pad_local_rows(np.asarray(x), per_proc)
+        ),
         local_batch,
     )

@@ -54,7 +54,7 @@ def save_checkpoint(
     total_epochs: Optional[int] = None,
     dump_checkpoints: Optional[str] = None,
     async_write: bool = False,
-    completed: bool = True,
+    resume_epoch: Optional[int] = None,
 ):
     """Write the checkpoint; rank 0 does the IO.
 
@@ -79,10 +79,12 @@ def save_checkpoint(
     host_state = jax.tree.map(fetch_to_host, device_state)  # all processes
     if jax.process_index() != 0:
         return
+    if resume_epoch is None:
+        resume_epoch = epoch + 1  # epoch completed
     host_sl = {
-        # completed=False (mid-epoch preemption): resume AT this epoch so
-        # its remaining batches + scheduled SK steps re-run in full
-        "epoch": epoch + 1 if completed else epoch,
+        # resume_epoch == epoch (mid-epoch preemption): restart AT this
+        # epoch so its remaining batches + scheduled SK steps re-run
+        "epoch": resume_epoch,
         "selflabels": np.asarray(sl_state.selflabels).copy(),
         "dist": sl_state.marginals.to_dict(),
         "sk_counter": sl_state.sk_counter,
@@ -98,7 +100,7 @@ def save_checkpoint(
         with open(tmp, "wb") as f:
             pickle.dump(payload, f)
         os.replace(tmp, path)
-        if dump_checkpoints and completed and (
+        if dump_checkpoints and resume_epoch > epoch and (
             epoch % checkpoint_freq == 0
             or (total_epochs is not None and epoch == total_epochs - 1)
         ):

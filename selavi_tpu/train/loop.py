@@ -401,7 +401,11 @@ class Trainer:
         return losses.avg
 
     def checkpoint(self, epoch: int, completed: bool = True):
-        self.sl_state.epoch = epoch + 1 if completed else epoch
+        # single source of truth for the resume point, shared with the
+        # persisted blob (a drift between the two re-opens the silent
+        # mid-epoch-skip bug this rule fixed)
+        resume_epoch = epoch + 1 if completed else epoch
+        self.sl_state.epoch = resume_epoch
         save_checkpoint(
             self.args.dump_path,
             self.state,
@@ -411,7 +415,7 @@ class Trainer:
             total_epochs=self.args.epochs,
             dump_checkpoints=getattr(self.args, "dump_checkpoints", None),
             async_write=getattr(self.args, "async_checkpoint", True),
-            completed=completed,
+            resume_epoch=resume_epoch,
         )
 
     def fit(self) -> list[dict]:

@@ -66,6 +66,21 @@ def test_short_waveform_clamps_to_start_and_pads():
     assert (clip[23000:] == 0).all()
 
 
+def test_negative_start_clamps_to_zero():
+    """Temporal jittering can push fr_sec negative near t=0; a negative
+    python slice start would wrap to an EMPTY clip that zero-padding
+    then silently turns into all-silence audio."""
+    from selavi_tpu.data.audio import slice_clip_pcm
+
+    rng = np.random.default_rng(2)
+    wav = (rng.standard_normal(5 * 24000) * 5000).astype(np.float64)
+    clip = slice_clip_pcm(wav, -0.2, num_sec=1, sample_rate=24000)
+    assert clip.shape == (24000,)
+    np.testing.assert_array_equal(
+        clip, wav[:24000].astype(np.float32)
+    )
+
+
 def test_device_logfbank_matches_host():
     rng = np.random.default_rng(1)
     pcm = (rng.standard_normal((3, 24000)) * 8000).astype(np.float32)
