@@ -77,10 +77,13 @@ def sinkhorn_knopp(
     """
     n, _ = log_ps.shape
     m = (0.5 * lamb) * log_ps.astype(jnp.float32)
-    if m_bf16 and use_pallas:
+    if m_bf16:
         # bf16 storage of M halves the solver's HBM traffic (its actual
-        # bound); the Pallas kernel upcasts each tile to fp32. bf16 carries
-        # ~3 significant decimal digits — labels stay identical on sharp
+        # bound) on BOTH backends: the Pallas kernel upcasts each tile to
+        # fp32, and XLA fuses the upcast into the LSE reductions. This is
+        # how the sharded multi-chip path gets the bandwidth win too (the
+        # fused kernel is single-core-only). bf16 carries ~3 significant
+        # decimal digits — labels stay identical on sharp
         # (converged-training) instances; stay fp32 when bit-level
         # reference parity matters.
         m = m.astype(jnp.bfloat16)

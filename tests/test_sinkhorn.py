@@ -119,3 +119,27 @@ def test_cost_is_finite_and_iters_bounded():
     )
     assert np.isfinite(float(res.cost))
     assert int(res.iters) <= 2000
+
+
+def test_xla_bf16_m_storage_labels_agree():
+    """--sk_bf16 now applies to the XLA backend too (the sharded
+    multi-chip path): labels must near-match fp32 on a random instance
+    and the cost must stay fp32-accumulated (finite, same scale)."""
+    rng = np.random.default_rng(5)
+    n, k = 400, 12
+    log_ps = np.log(
+        rng.dirichlet(np.ones(k), size=n).astype(np.float64) + 1e-9
+    )
+    log_r = np.full(k, -np.log(k), np.float32)
+    r32 = sinkhorn_knopp(
+        jnp.asarray(log_ps, jnp.float32), jnp.asarray(log_r)
+    )
+    r16 = sinkhorn_knopp(
+        jnp.asarray(log_ps, jnp.float32), jnp.asarray(log_r), m_bf16=True
+    )
+    agree = (np.asarray(r32.labels) == np.asarray(r16.labels)).mean()
+    assert agree > 0.95, agree
+    assert np.isfinite(float(r16.cost))
+    assert abs(float(r16.cost) - float(r32.cost)) < 0.1 * max(
+        abs(float(r32.cost)), 1.0
+    )
