@@ -29,6 +29,30 @@ logger = logging.getLogger(__name__)
 RECALL_THRESHOLDS = (1, 5, 10, 20, 50)
 
 
+def make_video_gap_encode_fn(model, compute_dtype=jnp.float32):
+    """Jitted video GAP features [B,T,H,W,3]u8 -> [B,512].
+
+    The reference uses the FULL model's 512-d GAP features for any task
+    involving audio (retrieval_utils.py:151-230 ``get_features`` with
+    ``get_audio=True`` calls ``model(video, audio)``), so video and audio
+    features share a dimension; the truncated pre-GAP pooled tower below
+    is its video-only (v-v) path."""
+
+    @jax.jit
+    def encode(params, batch_stats, video_u8):
+        video = (
+            (video_u8.astype(jnp.float32) / 255.0 - 0.45) / 0.225
+        ).astype(compute_dtype)
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            video,
+            train=False,
+            method=model.encode_video,
+        ).astype(jnp.float32)
+
+    return encode
+
+
 def make_retrieval_encode_fn(model, pool_op: str = "max", compute_dtype=jnp.float32):
     """Jitted truncated-tower features: [B,T,H,W,3]u8 -> [B, D_flat]."""
 

@@ -116,3 +116,27 @@ def test_retrieval_recall():
         train, rng.permutation(train_labels), val, val_labels
     )
     assert recalls_bad[1] < 80.0
+
+
+def test_cross_modal_retrieval_cli_dims(tmp_path):
+    """a-v retrieval compares video and audio features, so both must come
+    from the full model's 512-d GAP encoders (reference get_features with
+    get_audio=True) — the truncated 2048-d pooled tower is v-v-only.
+    Regression: the a-v path crashed with a NN feature-dim mismatch."""
+    import video_retrieval
+
+    cache = str(tmp_path / "feats.pkl")
+    argv = [
+        "--dataset", "synthetic", "--task", "a-v",
+        "--num_data_samples", "6", "--clip_len", "16",
+        "--batch_size", "3", "--workers", "0",
+        "--headcount", "2", "--num_clusters", "8",
+        "--aud_sample_rate", "24000", "--aud_spec_type", "1",
+        "--feature_cache", cache,
+    ]
+    recalls = video_retrieval.main(argv)
+    assert set(recalls) == {1, 5}
+    # cache hit reproduces identically, including the audio features the
+    # task needs (regression: a second dump used to strip them)
+    recalls2 = video_retrieval.main(argv)
+    assert recalls2 == recalls

@@ -126,17 +126,26 @@ def main(argv=None):
 
     mesh = make_mesh()
     dsh = data_sharding(mesh)
-    encode = make_retrieval_encode_fn(model, pool_op=args.pool_op)
     need_audio = args.task != "v-v"
     audio_encode = None
     if need_audio:
+        # audio-involving tasks compare video and audio features, so both
+        # come from the full model's 512-d GAP encoders (reference
+        # get_features with get_audio=True); the truncated pooled tower
+        # is the video-only v-v path
         from selavi_tpu.data.factory import audio_cfg_from_args
-        from selavi_tpu.eval.retrieval import make_audio_encode_fn
+        from selavi_tpu.eval.retrieval import (
+            make_audio_encode_fn,
+            make_video_gap_encode_fn,
+        )
 
+        encode = make_video_gap_encode_fn(model)
         aenc = make_audio_encode_fn(
             model, audio_cfg=audio_cfg_from_args(args)
         )
         audio_encode = lambda a: aenc(state.params, state.batch_stats, a)
+    else:
+        encode = make_retrieval_encode_fn(model, pool_op=args.pool_op)
 
     def encode_fn(video):
         return encode(state.params, state.batch_stats, video)
