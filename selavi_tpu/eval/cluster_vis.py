@@ -127,3 +127,54 @@ def export_from_checkpoint(
     return write_clusters_js(
         clusters, os.path.join(out_dir, "clusters.js"), meta_classes=meta
     )
+
+
+def main(argv=None):
+    """CLI analog of the reference's cluster_vis scripts
+    (get_clusters_{vggsounds,kinetics}.py): checkpoint + dataset flags ->
+    ``{out_dir}/clusters.js`` for the static browser page."""
+    import argparse
+
+    from selavi_tpu.config import bool_flag
+
+    p = argparse.ArgumentParser(
+        description="Export cluster-browser data from a checkpoint"
+    )
+    p.register("type", "bool", bool_flag)
+    p.add_argument("--weights_path", required=True)
+    p.add_argument("--ds_name", default="vggsound")
+    p.add_argument("--root_dir", default="/path/to/dataset")
+    p.add_argument("--data_path", default="datasets/data")
+    p.add_argument("--mode", default="train")
+    p.add_argument("--num_data_samples", type=int, default=None)
+    p.add_argument("--num_frames", type=int, default=30)
+    p.add_argument("--target_fps", type=int, default=30)
+    p.add_argument("--train_crop_size", type=int, default=112)
+    p.add_argument("--num_sec_aud", type=int, default=1)
+    p.add_argument("--aud_sample_rate", type=int, default=48000)
+    p.add_argument("--aud_spec_type", type=int, default=2)
+    p.add_argument("--z_normalize", type="bool", default="True")
+    p.add_argument("--device_spectrogram", type="bool", default="False")
+    p.add_argument("--seed", type=int, default=31)
+    p.add_argument("--head", type=int, default=0)
+    p.add_argument("--out_dir", default="cluster_vis/data")
+    p.add_argument("--meta_classes", default=None,
+                   help="optional meta-classes.json path")
+    args = p.parse_args(argv)
+
+    from selavi_tpu.data.factory import build_dataset
+
+    dataset = build_dataset(args, mode=args.mode, eval_mode=True)
+    clusters = export_from_checkpoint(
+        args.weights_path, dataset, out_dir=args.out_dir,
+        head=args.head, meta_classes_path=args.meta_classes,
+    )
+    print(
+        f"wrote {os.path.join(args.out_dir, 'clusters.js')} "
+        f"({len(clusters)} clusters)"
+    )
+    return clusters
+
+
+if __name__ == "__main__":
+    main()
