@@ -28,39 +28,21 @@ from selavi_tpu.train.step import make_encode_fn, make_head_logits_fn
 
 
 def parse_args(argv=None):
+    from selavi_tpu.data.factory import add_dataset_flags
+
     parser = argparse.ArgumentParser(description="Get cluster assignments")
     parser.register("type", "bool", bool_flag)
-    parser.add_argument("--ds_name", type=str, default="vggsound")
-    parser.add_argument("--root_dir", type=str, default="/path/to/dataset")
-    parser.add_argument("--data_path", type=str, default="datasets/data")
-    parser.add_argument("--mode", type=str, default="train")
+    add_dataset_flags(parser)
     parser.add_argument("--weights_path", type=str, required=True)
     parser.add_argument("--output_path", type=str, default="ps_matrices.pkl")
-    parser.add_argument("--num_frames", type=int, default=30)
-    parser.add_argument("--target_fps", type=int, default=30)
-    parser.add_argument("--train_crop_size", type=int, default=112)
-    parser.add_argument("--num_sec_aud", type=int, default=1)
-    parser.add_argument("--aud_sample_rate", type=int, default=48000)
-    parser.add_argument("--aud_spec_type", type=int, default=2)
-    parser.add_argument("--z_normalize", type="bool", default="True")
     parser.add_argument("--headcount", type=int, default=10)
     parser.add_argument("--use_mlp", type="bool", default="True")
-    parser.add_argument("--mlp_dim", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--workers", type=int, default=8)
-    parser.add_argument("--num_data_samples", type=int, default=None)
-    parser.add_argument("--seed", type=int, default=31,
-                        help="dataset seed; must match training for "
-                             "synthetic ground-truth label consistency")
     parser.add_argument("--tpu_aligned_midplanes", type="bool",
                         default="False",
                         help="set to true for checkpoints trained with "
                              "MXU-aligned midplane widths")
-    parser.add_argument("--device_spectrogram", type="bool",
-                        default="False",
-                        help="dataset ships raw PCM; spectrograms are "
-                             "computed on device (matches training with "
-                             "--device_spectrogram)")
     parser.add_argument("--dual_data", type="bool", default="False",
                         help="checkpoint was trained with --dual_data "
                              "(2-channel audio stem); eval specs are "

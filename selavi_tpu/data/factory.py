@@ -77,6 +77,36 @@ def build_dataset(args, mode: str = "train", eval_mode: bool = False):
     return AVideoDataset(**kwargs)
 
 
+def add_dataset_flags(parser):
+    """The dataset-construction flag surface shared by the eval CLIs
+    (get_clusters, cluster_vis, ...). The parser must have the 'bool'
+    string type registered (selavi_tpu.config.bool_flag). Defaults match
+    the reference opt.py; --mlp_dim must match training for synthetic
+    datasets (it derives the synthetic class count)."""
+    parser.add_argument("--ds_name", type=str, default="vggsound")
+    parser.add_argument("--root_dir", type=str, default="/path/to/dataset")
+    parser.add_argument("--data_path", type=str, default="datasets/data")
+    parser.add_argument("--mode", type=str, default="train")
+    parser.add_argument("--num_frames", type=int, default=30)
+    parser.add_argument("--target_fps", type=int, default=30)
+    parser.add_argument("--train_crop_size", type=int, default=112)
+    parser.add_argument("--num_sec_aud", type=int, default=1)
+    parser.add_argument("--aud_sample_rate", type=int, default=48000)
+    parser.add_argument("--aud_spec_type", type=int, default=2)
+    parser.add_argument("--z_normalize", type="bool", default="True")
+    parser.add_argument("--mlp_dim", type=int, default=None)
+    parser.add_argument("--num_data_samples", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=31,
+                        help="dataset seed; must match training for "
+                             "synthetic ground-truth label consistency")
+    parser.add_argument("--device_spectrogram", type="bool",
+                        default="False",
+                        help="dataset ships raw PCM; spectrograms are "
+                             "computed on device (matches training with "
+                             "--device_spectrogram)")
+    return parser
+
+
 def audio_cfg_from_args(args) -> dict:
     """The on-device audio-frontend config (ops/logmel.py) matching the
     host frontend flags (reference audio_utils.py:46-72)."""

@@ -137,25 +137,14 @@ def main(argv=None):
 
     from selavi_tpu.config import bool_flag
 
+    from selavi_tpu.data.factory import add_dataset_flags
+
     p = argparse.ArgumentParser(
         description="Export cluster-browser data from a checkpoint"
     )
     p.register("type", "bool", bool_flag)
+    add_dataset_flags(p)  # incl. --mlp_dim (synthetic class count)
     p.add_argument("--weights_path", required=True)
-    p.add_argument("--ds_name", default="vggsound")
-    p.add_argument("--root_dir", default="/path/to/dataset")
-    p.add_argument("--data_path", default="datasets/data")
-    p.add_argument("--mode", default="train")
-    p.add_argument("--num_data_samples", type=int, default=None)
-    p.add_argument("--num_frames", type=int, default=30)
-    p.add_argument("--target_fps", type=int, default=30)
-    p.add_argument("--train_crop_size", type=int, default=112)
-    p.add_argument("--num_sec_aud", type=int, default=1)
-    p.add_argument("--aud_sample_rate", type=int, default=48000)
-    p.add_argument("--aud_spec_type", type=int, default=2)
-    p.add_argument("--z_normalize", type="bool", default="True")
-    p.add_argument("--device_spectrogram", type="bool", default="False")
-    p.add_argument("--seed", type=int, default=31)
     p.add_argument("--head", type=int, default=0)
     p.add_argument("--out_dir", default="cluster_vis/data")
     p.add_argument("--meta_classes", default=None,

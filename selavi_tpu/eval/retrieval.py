@@ -29,30 +29,6 @@ logger = logging.getLogger(__name__)
 RECALL_THRESHOLDS = (1, 5, 10, 20, 50)
 
 
-def make_video_gap_encode_fn(model, compute_dtype=jnp.float32):
-    """Jitted video GAP features [B,T,H,W,3]u8 -> [B,512].
-
-    The reference uses the FULL model's 512-d GAP features for any task
-    involving audio (retrieval_utils.py:151-230 ``get_features`` with
-    ``get_audio=True`` calls ``model(video, audio)``), so video and audio
-    features share a dimension; the truncated pre-GAP pooled tower below
-    is its video-only (v-v) path."""
-
-    @jax.jit
-    def encode(params, batch_stats, video_u8):
-        video = (
-            (video_u8.astype(jnp.float32) / 255.0 - 0.45) / 0.225
-        ).astype(compute_dtype)
-        return model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            video,
-            train=False,
-            method=model.encode_video,
-        ).astype(jnp.float32)
-
-    return encode
-
-
 def make_retrieval_encode_fn(model, pool_op: str = "max", compute_dtype=jnp.float32):
     """Jitted truncated-tower features: [B,T,H,W,3]u8 -> [B, D_flat]."""
 
@@ -94,32 +70,46 @@ def make_retrieval_encode_fn(model, pool_op: str = "max", compute_dtype=jnp.floa
 
 
 def collect_features(
-    encode_fn: Callable,
+    encode_fn: Optional[Callable],
     batch_iter: Iterator[dict],
     audio_encode_fn: Optional[Callable] = None,
+    joint_encode_fn: Optional[Callable] = None,
 ):
     """Run the encoder(s) over a split; returns (features, vid_indices,
-    labels[, audio_features]) with one row per clip."""
+    labels[, audio_features]) with one row per clip.
+
+    ``joint_encode_fn(video, audio) -> (feat_v, feat_a)`` encodes both
+    modalities in ONE model apply (the reference's get_audio=True
+    ``model(video, audio)`` path, retrieval_utils.py:199-201 — both
+    512-d GAP); otherwise ``encode_fn(video)`` (plus optional
+    ``audio_encode_fn``) run separately."""
     feats, vids, labels, afeats = [], [], [], []
     for batch in batch_iter:
-        f = np.asarray(encode_fn(batch["video"]))
-        feats.append(f)
-        vids.append(np.asarray(batch["vid_idx"]))
-        labels.append(np.asarray(batch["label"]))
-        if audio_encode_fn is not None:
-            afeats.append(
-                np.asarray(
-                    audio_encode_fn(
-                        batch.get("audio", batch.get("audio_pcm"))
+        if joint_encode_fn is not None:
+            fv, fa = joint_encode_fn(
+                batch["video"],
+                batch.get("audio", batch.get("audio_pcm")),
+            )
+            feats.append(np.asarray(fv))
+            afeats.append(np.asarray(fa))
+        else:
+            feats.append(np.asarray(encode_fn(batch["video"])))
+            if audio_encode_fn is not None:
+                afeats.append(
+                    np.asarray(
+                        audio_encode_fn(
+                            batch.get("audio", batch.get("audio_pcm"))
+                        )
                     )
                 )
-            )
+        vids.append(np.asarray(batch["vid_idx"]))
+        labels.append(np.asarray(batch["label"]))
     out = (
         np.concatenate(feats),
         np.concatenate(vids),
         np.concatenate(labels),
     )
-    if audio_encode_fn is not None:
+    if afeats:
         return out + (np.concatenate(afeats),)
     return out
 
@@ -150,27 +140,6 @@ def average_features(
         np.asarray(avg_vids),
         np.asarray(avg_labels),
     )
-
-
-def make_audio_encode_fn(
-    model, compute_dtype=jnp.float32, audio_cfg: Optional[dict] = None
-):
-    """Jitted audio GAP features [B,F,T,1] -> [B,512] (for a-a/v-a/a-v
-    retrieval tasks, reference retrieval_utils.py:391-407). Raw PCM [B,S]
-    batches (``--device_spectrogram`` datasets) are routed through the
-    on-device log-filterbank frontend."""
-    from selavi_tpu.train.step import prepare_audio
-
-    @jax.jit
-    def encode(params, batch_stats, audio):
-        return model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            prepare_audio(audio, compute_dtype, audio_cfg),
-            train=False,
-            method=model.encode_audio,
-        ).astype(jnp.float32)
-
-    return encode
 
 
 def select_task_features(task: str, train_v, train_a, val_v, val_a):

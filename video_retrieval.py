@@ -98,6 +98,11 @@ def main(argv=None):
     # load_or_get_features): a hit skips dataset scanning, model build,
     # and checkpoint load entirely — the cache exists so re-runs work on
     # machines without the raw video tree
+    need_audio = args.task != "v-v"
+    # video features are TASK-DEPENDENT: audio tasks use 512-d GAP
+    # (dimension-compatible with audio features), v-v the pooled
+    # truncated tower — a cache from the other kind must not be reused
+    feature_kind = "gap" if need_audio else f"pooled:{args.pool_op}"
     feats = None
     if args.feature_cache:
         import os
@@ -105,7 +110,15 @@ def main(argv=None):
         if os.path.isfile(args.feature_cache):
             with open(args.feature_cache, "rb") as fh:
                 feats = pickle.load(fh)
-            print(f"loaded cached features from {args.feature_cache}")
+            cached_kind = feats.pop("_video_feature_kind", None)
+            if cached_kind != feature_kind:
+                print(
+                    f"cache holds '{cached_kind}' video features but task "
+                    f"{args.task} needs '{feature_kind}'; recomputing"
+                )
+                feats = None
+            else:
+                print(f"loaded cached features from {args.feature_cache}")
     if feats is not None:
         return _retrieval_report(args, feats)
 
@@ -126,29 +139,23 @@ def main(argv=None):
 
     mesh = make_mesh()
     dsh = data_sharding(mesh)
-    need_audio = args.task != "v-v"
-    audio_encode = None
+    encode_fn = joint_encode = None
     if need_audio:
         # audio-involving tasks compare video and audio features, so both
-        # come from the full model's 512-d GAP encoders (reference
-        # get_features with get_audio=True); the truncated pooled tower
-        # is the video-only v-v path
+        # come from the full model's 512-d GAP features in ONE apply
+        # (reference get_features with get_audio=True calls
+        # model(video, audio)); the truncated pooled tower is the
+        # video-only v-v path
         from selavi_tpu.data.factory import audio_cfg_from_args
-        from selavi_tpu.eval.retrieval import (
-            make_audio_encode_fn,
-            make_video_gap_encode_fn,
-        )
+        from selavi_tpu.train.step import make_encode_fn
 
-        encode = make_video_gap_encode_fn(model)
-        aenc = make_audio_encode_fn(
-            model, audio_cfg=audio_cfg_from_args(args)
+        enc = make_encode_fn(model, audio_cfg=audio_cfg_from_args(args))
+        joint_encode = lambda v, a: enc(
+            state.params, state.batch_stats, v, a
         )
-        audio_encode = lambda a: aenc(state.params, state.batch_stats, a)
     else:
         encode = make_retrieval_encode_fn(model, pool_op=args.pool_op)
-
-    def encode_fn(video):
-        return encode(state.params, state.batch_stats, video)
+        encode_fn = lambda v: encode(state.params, state.batch_stats, v)
 
     feats = {}
     for split, ds in (("train", train_ds), ("val", test_ds)):
@@ -162,7 +169,7 @@ def main(argv=None):
             decode_wire_batches(
                 device_prefetch(iter(loader), sharding=dsh)
             ),
-            audio_encode_fn=audio_encode,
+            joint_encode_fn=joint_encode,
         )
         f, v, l = out[:3]
         feats[split] = average_features(
@@ -174,11 +181,13 @@ def main(argv=None):
             )
             feats[split + "_audio"] = (af, av, al)
     if args.feature_cache:
-        # one dump of the FULL dict (incl. *_audio entries) — a second
-        # trimmed dump here would strip the audio features a later a-v
-        # run needs
+        # one dump of the FULL dict (incl. *_audio entries and the
+        # feature kind) — a second trimmed dump here would strip the
+        # audio features a later a-v run needs
         with open(args.feature_cache, "wb") as fh:
-            pickle.dump(feats, fh)
+            pickle.dump(
+                dict(feats, _video_feature_kind=feature_kind), fh
+            )
     return _retrieval_report(args, feats)
 
 
