@@ -24,3 +24,8 @@ except Exception:
     pass
 
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+# persistent compile cache: model compiles dominate suite wall time
+# (~30 min cold); cache keys hash the traced HLO, so code changes miss
+# safely and repeat runs reuse everything unchanged
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
