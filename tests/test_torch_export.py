@@ -176,3 +176,38 @@ def test_saved_pth_schema_and_cli_roundtrip(model_trees, tmp_path):
     blob2 = torch.load(str(out2), map_location="cpu", weights_only=False)
     assert blob2["epoch"] == 3
     assert blob2["model"].keys() == blob["model"].keys()
+
+
+def test_resnet18_audio_export_structure():
+    """The audio tower's stage structure is inferred from the param keys
+    (regression: a hardcoded resnet9 assumption exported resnet18/34
+    weights under wrong torchvision names and silently dropped blocks)."""
+    from selavi_tpu.train.torch_export import (
+        _infer_audio_stage_blocks,
+        export_audio_tower,
+    )
+
+    model = load_model(headcount=1, num_classes=4, aud_base_arch="resnet18")
+    rng = jax.random.PRNGKey(1)
+    video = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    audio = jnp.zeros((1, 40, 51, 1), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, video, audio,
+                           train=False)
+    ap = jax.tree.map(np.asarray, variables["params"])["audio_network"]
+    abs_ = jax.tree.map(np.asarray, variables["batch_stats"])[
+        "audio_network"
+    ]
+    assert _infer_audio_stage_blocks(ap) == (2, 2, 2, 2)
+    sd = export_audio_tower(ap, abs_, stage_blocks=(2, 2, 2, 2))
+    # torchvision resnet18: layer{1..4}.{0,1}, and layer2.0 must carry
+    # the 64->128 stride-2 conv with a downsample (the block the old
+    # mapping mislabeled with layer1.1's 64->64 weights)
+    for stage in (1, 2, 3, 4):
+        for b in (0, 1):
+            assert f"audio_network.base.layer{stage}.{b}.conv1.weight" in sd
+    w = sd["audio_network.base.layer2.0.conv1.weight"]
+    assert w.shape == (128, 64, 3, 3), w.shape
+    assert "audio_network.base.layer2.0.downsample.0.weight" in sd
+    assert sd["audio_network.base.layer1.1.conv1.weight"].shape == (
+        64, 64, 3, 3,
+    )
