@@ -101,6 +101,13 @@ def export_from_checkpoint(
     with open(ckpt_path, "rb") as f:
         payload = pickle.load(f)
     selflabels = np.asarray(payload["selflabels"])
+    if len(selflabels) != len(dataset):
+        raise ValueError(
+            f"checkpoint has {len(selflabels)} selflabel rows but the "
+            f"rebuilt dataset has {len(dataset)} samples — the dataset "
+            "flags (--ds_name/--num_data_samples/--mlp_dim/--seed/...) "
+            "must match the training run"
+        )
 
     idx_to_class = {v: k for k, v in getattr(
         dataset, "class_to_idx", {}

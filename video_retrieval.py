@@ -99,10 +99,15 @@ def main(argv=None):
     # and checkpoint load entirely — the cache exists so re-runs work on
     # machines without the raw video tree
     need_audio = args.task != "v-v"
-    # video features are TASK-DEPENDENT: audio tasks use 512-d GAP
+    # cached features are CONFIG-DEPENDENT: audio tasks use 512-d GAP
     # (dimension-compatible with audio features), v-v the pooled
-    # truncated tower — a cache from the other kind must not be reused
-    feature_kind = "gap" if need_audio else f"pooled:{args.pool_op}"
+    # truncated tower, and --norm_feats is baked into the cached values
+    # by average_features — a cache from another config must not be
+    # silently reused
+    feature_kind = (
+        ("gap" if need_audio else f"pooled:{args.pool_op}")
+        + f"|norm:{bool(args.norm_feats)}"
+    )
     feats = None
     if args.feature_cache:
         import os
