@@ -52,6 +52,16 @@ class SyntheticAVDataset:
         self.mode = mode
         self.return_pcm = return_pcm
         self.name = "synthetic"
+        # Signature v2 for high class counts: the v1 audio map
+        # f0 = 110*2^(label/2) passes Nyquist at label ~= 2*log2(sr/220)
+        # (label 14 at 24 kHz), after which classes alias onto each other,
+        # and v1 orbit speed 1+label aliases against num_frames. v2 keeps
+        # every class signature distinct at any K: log-spaced fundamentals
+        # inside [110, 0.35*sr], golden-ratio hue scrambling, bounded
+        # orbit speed, and a static class-position marker square. v1 is
+        # bit-preserved for <=12 classes (every quality record in
+        # BASELINE.md up to r2 used <=8 true classes).
+        self._sig_v2 = num_classes > 12
         base = np.random.default_rng(seed)
         self._labels = base.integers(
             0, num_classes, size=num_samples
@@ -83,7 +93,12 @@ class SyntheticAVDataset:
         t = self.num_frames
 
         # --- video: class-colored square orbiting at class-dependent speed
-        hue = label / self.num_classes
+        if self._sig_v2:
+            # golden-ratio scrambling: adjacent labels land far apart on
+            # the hue circle even at K=309
+            hue = (label * 0.61803398875) % 1.0
+        else:
+            hue = label / self.num_classes
         color = np.array(
             [
                 0.5 + 0.5 * np.sin(2 * np.pi * hue),
@@ -100,9 +115,28 @@ class SyntheticAVDataset:
             color_u8 = (color * 255).astype(np.uint8)
             radius = c // 4
             sq = max(c // 8, 2)
-            speed = 1.0 + label
+            if self._sig_v2:
+                # bounded speed (v1's 1+label aliases against t frames);
+                # orbit direction and a STATIC class-position marker
+                # square (4x4 grid cell = label % 16) carry the rest of
+                # the class identity
+                speed = 1.0 + (label % 12)
+                direction = 1.0 if (label // 12) % 2 == 0 else -1.0
+                gx, gy = label % 4, (label // 4) % 4
+                my = int((gy + 0.5) * c / 4)
+                mx = int((gx + 0.5) * c / 4)
+                msq = max(c // 16, 2)
+                clip[
+                    :,
+                    max(my - msq, 0) : min(my + msq, c),
+                    max(mx - msq, 0) : min(mx + msq, c),
+                    :,
+                ] = color_u8
+            else:
+                speed = 1.0 + label
+                direction = 1.0
             for f in range(t):
-                ang = phase + speed * f / t * 2 * np.pi
+                ang = phase + direction * speed * f / t * 2 * np.pi
                 cy = int(c / 2 + radius * np.sin(ang))
                 cx = int(c / 2 + radius * np.cos(ang))
                 y0, y1 = max(cy - sq, 0), min(cy + sq, c)
@@ -130,10 +164,23 @@ class SyntheticAVDataset:
         sr = self.aud_sample_rate
         dur = self.num_sec + 1  # file longer than the clip, like real videos
         tt = np.arange(dur * sr) / sr
-        f0 = 110.0 * (2.0 ** (label / 2.0))
+        if self._sig_v2:
+            # log-spaced fundamentals spanning [110, 0.35*sr]: distinct
+            # and alias-free for any class count (v1's 2^(label/2) passes
+            # Nyquist at label ~14 @ 24 kHz)
+            top = 0.35 * sr
+            f0 = 110.0 * (top / 110.0) ** (
+                label / max(self.num_classes - 1, 1)
+            )
+            # drop the octave harmonic once it would fold over Nyquist
+            # (an aliased harmonic could land on another class's band)
+            h_amp = 0.3 if 2 * f0 < 0.45 * sr else 0.0
+        else:
+            f0 = 110.0 * (2.0 ** (label / 2.0))
+            h_amp = 0.3
         wav = (
             0.6 * np.sin(2 * np.pi * f0 * tt + self._phase[idx])
-            + 0.3 * np.sin(2 * np.pi * 2 * f0 * tt)
+            + h_amp * np.sin(2 * np.pi * 2 * f0 * tt)
             + 0.05 * rng.standard_normal(len(tt))
         )
         wav = (wav * 8000).astype(np.float64)
