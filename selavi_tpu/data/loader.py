@@ -288,11 +288,13 @@ def _batch_sharding(x, sharding):
     if sharding is None:
         return None
     try:
-        axes = tuple(
-            a
-            for axis in sharding.spec
-            if axis is not None
-            for a in ((axis,) if isinstance(axis, str) else tuple(axis))
+        # only the LEADING dim's partitioning constrains x.shape[0]; other
+        # entries of the spec shard other dims and are irrelevant here
+        lead = sharding.spec[0] if len(sharding.spec) else None
+        axes = (
+            ()
+            if lead is None
+            else (lead,) if isinstance(lead, str) else tuple(lead)
         )
         n = int(np.prod([sharding.mesh.shape[a] for a in axes] or [1]))
     except AttributeError:  # not a NamedSharding; let device_put decide

@@ -216,9 +216,11 @@ def export_reference_state_dict(
         params["audio_network"], batch_stats["audio_network"],
         stage_blocks=audio_stage_blocks,
     ))
-    sd.update(export_heads(params["heads_v"], batch_stats["heads_v"],
+    # linear heads (use_mlp=False) have no BN, so flax's batch_stats
+    # collection carries no heads_v/heads_a entries
+    sd.update(export_heads(params["heads_v"], batch_stats.get("heads_v", {}),
                            "v", headcount, use_mlp))
-    sd.update(export_heads(params["heads_a"], batch_stats["heads_a"],
+    sd.update(export_heads(params["heads_a"], batch_stats.get("heads_a", {}),
                            "a", headcount, use_mlp))
     if ddp_prefix:
         sd = {ddp_prefix + k: v for k, v in sd.items()}

@@ -140,3 +140,21 @@ def test_cross_modal_retrieval_cli_dims(tmp_path):
     # task needs (regression: a second dump used to strip them)
     recalls2 = video_retrieval.main(argv)
     assert recalls2 == recalls
+
+
+def test_retrieval_cli_dual_data_checkpoint(tmp_path):
+    """--dual_data: the 2-channel audio-stem init + spec tiling must flow
+    through video_retrieval like get_clusters (ADVICE r2: a dual-trained
+    checkpoint previously failed the audio-task state init)."""
+    import video_retrieval
+
+    argv = [
+        "--dataset", "synthetic", "--task", "a-v",
+        "--num_data_samples", "6", "--clip_len", "16",
+        "--batch_size", "3", "--workers", "0",
+        "--headcount", "2", "--num_clusters", "8",
+        "--aud_sample_rate", "24000", "--aud_spec_type", "1",
+        "--dual_data", "true",
+    ]
+    recalls = video_retrieval.main(argv)
+    assert set(recalls) == {1, 5}

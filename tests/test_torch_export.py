@@ -211,3 +211,27 @@ def test_resnet18_audio_export_structure():
     assert sd["audio_network.base.layer1.1.conv1.weight"].shape == (
         64, 64, 3, 3,
     )
+
+
+def test_linear_head_checkpoint_exports():
+    """use_mlp=False heads have no BN, so flax's batch_stats has no
+    heads_v/heads_a entries — export must not KeyError (ADVICE r2)."""
+    headcount, k = 2, 7
+    model = load_model(headcount=headcount, num_classes=k, use_mlp=False)
+    rng = jax.random.PRNGKey(0)
+    video = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    audio = jnp.zeros((1, 40, 51, 1), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, video, audio,
+                           train=False)
+    params = jax.tree.map(np.asarray, variables["params"])
+    batch_stats = jax.tree.map(np.asarray, variables["batch_stats"])
+    assert "heads_v" not in batch_stats  # the precondition this guards
+    sd = export_reference_state_dict(params, batch_stats, headcount,
+                                     use_mlp=False, ddp_prefix="")
+    head_keys = [key for key in sd if "mlp_v" in key or "mlp_a" in key]
+    assert head_keys, sorted(sd)[:5]
+    roundtrip, _ = import_heads(sd, "v", headcount, use_mlp=False)
+    ours = params["heads_v"]["heads"]["proj"]
+    np.testing.assert_array_equal(
+        roundtrip["heads"]["proj"]["kernel"], ours["kernel"]
+    )

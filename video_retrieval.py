@@ -55,6 +55,10 @@ def parse_args(argv=None):
     parser.add_argument("--aud_sample_rate", type=int, default=48000)
     parser.add_argument("--aud_spec_type", type=int, default=2)
     parser.add_argument("--z_normalize", type="bool", default="True")
+    parser.add_argument("--dual_data", type="bool", default="False",
+                        help="checkpoint was trained with --dual_data "
+                             "(2-channel audio stem); eval specs are "
+                             "duplicated across both channels")
     return parser.parse_args(argv)
 
 
@@ -135,9 +139,14 @@ def main(argv=None):
     )
     example = train_ds.get_example(0, np.random.default_rng(0))
     spec_shape = example.get("audio", np.zeros((40, 99), np.float32)).shape
+    # dual_data checkpoints have a 2-channel audio stem; eval datasets
+    # yield single clips, so init with 2 channels and tile at encode time
+    # (mirrors get_clusters.py)
+    audio_channels = 2 if args.dual_data else 1
     state = create_train_state(
         model, make_optimizer(0.01, 0.0), jax.random.PRNGKey(0),
-        (2,) + example["video"].shape, (2,) + spec_shape + (1,),
+        (2,) + example["video"].shape,
+        (2,) + spec_shape + (audio_channels,),
     )
     if args.weights_path and args.weights_path != "None":
         state = load_model_parameters(state, args.weights_path)
@@ -154,7 +163,10 @@ def main(argv=None):
         from selavi_tpu.data.factory import audio_cfg_from_args
         from selavi_tpu.train.step import make_encode_fn
 
-        enc = make_encode_fn(model, audio_cfg=audio_cfg_from_args(args))
+        enc = make_encode_fn(
+            model, audio_cfg=audio_cfg_from_args(args),
+            audio_channels=2 if args.dual_data else None,
+        )
         joint_encode = lambda v, a: enc(
             state.params, state.batch_stats, v, a
         )
