@@ -203,6 +203,11 @@ def parse_arguments() -> argparse.ArgumentParser:
                              "echoing, arXiv:1907.05550) - raises "
                              "throughput ~xN on input-bound hosts; 1 = "
                              "reference semantics")
+    parser.add_argument("--strict_probe", type="bool", default="False",
+                        help="fail dataset construction when no ffprobe "
+                             "binary exists instead of skipping the "
+                             "AV-validity filter (the fail-open default "
+                             "warns loudly once)")
     parser.add_argument("--sk_augment", type="bool", default="True",
                         help="apply fresh device augmentations (hflip + "
                              "optional colorjitter/grayscale) during SK "

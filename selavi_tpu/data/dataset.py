@@ -109,7 +109,7 @@ def select_fold_hmdb51(video_list, annotation_path: str, fold: int, train: bool)
     ]
 
 
-def filter_videos(vid_paths, n_jobs: int = 30):
+def filter_videos(vid_paths, n_jobs: int = 30, strict: bool = False):
     """Parallel audio-validity probe (reference AVideoDataset.py:100-103).
 
     Thread backend on purpose: the probe is ffprobe-subprocess-bound (GIL
@@ -120,7 +120,7 @@ def filter_videos(vid_paths, n_jobs: int = 30):
     from joblib import Parallel, delayed
 
     flags = Parallel(n_jobs=n_jobs, prefer="threads")(
-        delayed(dec.probe_valid)(p) for p in vid_paths
+        delayed(dec.probe_valid)(p, strict=strict) for p in vid_paths
     )
     return [i for i, ok in enumerate(flags) if ok]
 
@@ -159,6 +159,7 @@ class AVideoDataset:
         seed: int = 0,
         return_pcm: bool = False,
         decode_retries: int = 10,
+        strict_probe: bool = False,
         **_unused,
     ):
         assert mode in ("train", "val", "test"), mode
@@ -259,7 +260,9 @@ class AVideoDataset:
                 with open(valid_file, "rb") as h:
                     self.valid_indices = pickle.load(h)
             else:
-                self.valid_indices = filter_videos(self._path_to_videos)
+                self.valid_indices = filter_videos(
+                    self._path_to_videos, strict=strict_probe
+                )
                 with open(valid_file, "wb") as h:
                     pickle.dump(
                         self.valid_indices, h, protocol=pickle.HIGHEST_PROTOCOL

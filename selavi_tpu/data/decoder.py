@@ -17,11 +17,17 @@ spatial transforms and spectrograms are applied downstream.
 
 from __future__ import annotations
 
+import logging
 import math
 import subprocess
 from typing import Optional, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# probe_valid warns exactly once per process when ffprobe is missing
+_warned_no_ffprobe = False
 
 
 def have_pyav() -> bool:
@@ -425,17 +431,39 @@ def decode_audio(path: str, sample_rate: int) -> Optional[np.ndarray]:
     return None
 
 
-def probe_valid(path: str, min_duration: float = 1.1) -> bool:
+def probe_valid(
+    path: str, min_duration: float = 1.1, strict: bool = False
+) -> bool:
     """AV-validity probe (reference AVideoDataset.py:78-97): the file has
     BOTH a video and an audio stream, each longer than ``min_duration``
     seconds (per-stream duration, falling back to the container duration
-    for formats that don't tag streams). Returns True unprobed when no
-    ffprobe binary exists (cannot filter; decode-failure tolerance in the
-    dataset absorbs the stragglers)."""
+    for formats that don't tag streams). With no ffprobe binary the probe
+    is fail-open — every file is declared valid (decode-failure tolerance
+    in the dataset absorbs stragglers) — but that silently CHANGES the
+    dataset vs the reference's hard ffmpeg.probe dependency, so it warns
+    loudly once; ``strict=True`` (--strict_probe) raises instead."""
     import json
     import shutil
 
     if shutil.which("ffprobe") is None:
+        if strict:
+            raise RuntimeError(
+                "--strict_probe: no ffprobe binary on PATH; cannot "
+                "validate AV streams (the reference hard-depends on "
+                "ffmpeg.probe, AVideoDataset.py:78-103)"
+            )
+        global _warned_no_ffprobe
+        if not _warned_no_ffprobe:
+            _warned_no_ffprobe = True
+            logger.warning(
+                "no ffprobe binary on PATH: AV-validity probing is "
+                "DISABLED and every file is assumed valid — on a "
+                "misconfigured host this silently changes the dataset "
+                "vs. the reference (which filters files lacking a "
+                ">%.1fs audio+video stream). Install ffmpeg or pass "
+                "--strict_probe to fail instead.",
+                min_duration,
+            )
         return True  # cannot probe; assume valid
     try:
         out = subprocess.run(

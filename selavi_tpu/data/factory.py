@@ -59,6 +59,7 @@ def build_dataset(args, mode: str = "train", eval_mode: bool = False):
         z_normalize=args.z_normalize,
         seed=getattr(args, "seed", 31),
         return_pcm=return_pcm,
+        strict_probe=getattr(args, "strict_probe", False),
     )
     if eval_mode:
         kwargs.update(center_crop=True, temp_jitter=False)

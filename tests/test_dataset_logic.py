@@ -231,3 +231,31 @@ def test_synthetic_sig_v2_alias_free_at_high_k():
     ex1 = ds.get_example(1, np.random.default_rng(0))
     assert ex0["video"].shape == ex1["video"].shape
     assert not np.array_equal(ex0["audio"], ex1["audio"])
+
+
+def test_probe_valid_fail_open_warns_once(monkeypatch, caplog):
+    """No ffprobe => fail-open is allowed but must warn LOUDLY exactly
+    once (VERDICT r2: silent fail-open changes the dataset vs the
+    reference's hard ffmpeg.probe dependency)."""
+    import shutil
+
+    from selavi_tpu.data import decoder as dec
+
+    monkeypatch.setattr(shutil, "which", lambda name: None)
+    monkeypatch.setattr(dec, "_warned_no_ffprobe", False)
+    with caplog.at_level("WARNING", logger="selavi_tpu.data.decoder"):
+        assert dec.probe_valid("/nonexistent.mp4") is True
+        assert dec.probe_valid("/nonexistent2.mp4") is True
+    warnings = [r for r in caplog.records if "ffprobe" in r.message]
+    assert len(warnings) == 1
+    assert "assumed valid" in warnings[0].getMessage()
+
+
+def test_probe_valid_strict_raises(monkeypatch):
+    import shutil
+
+    from selavi_tpu.data import decoder as dec
+
+    monkeypatch.setattr(shutil, "which", lambda name: None)
+    with pytest.raises(RuntimeError, match="strict_probe"):
+        dec.probe_valid("/nonexistent.mp4", strict=True)
