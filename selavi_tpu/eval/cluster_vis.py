@@ -20,6 +20,37 @@ from typing import Optional
 import numpy as np
 
 
+# datasets whose files are named '{youtube_id}_{start}_{end}.mp4' under a
+# gt-class directory (kinetics_sound files are kinetics files)
+YOUTUBE_FILENAME_DATASETS = ("vggsound", "kinetics", "kinetics_sound")
+
+
+def parse_youtube_filename(path: str):
+    """``.../{gt_class}/{youtube_id}_{start}_{end}.mp4`` ->
+    ``(youtube_id, start_sec, end_sec)`` — the id may itself contain
+    underscores, so the LAST two fields are the integer clip window
+    (reference get_clusters_vggsounds.py:40-46 and
+    get_clusters_kinetics.py:41-47 split identically). Returns None when
+    the name doesn't end in two integer fields."""
+    name = os.path.splitext(os.path.basename(path))[0]
+    parts = name.split("_")
+    if len(parts) >= 3:
+        try:
+            return "_".join(parts[:-2]), int(parts[-2]), int(parts[-1])
+        except ValueError:
+            pass
+    return None
+
+
+def load_meta_classes(path: str) -> dict:
+    """meta-classes.json with the reference's key normalization: class
+    names are stored with spaces but gt-class directories use
+    underscores (preprocess.py:26-32)."""
+    with open(path) as f:
+        meta = json.load(f)
+    return {k.replace(" ", "_"): v for k, v in meta.items()}
+
+
 def extract_clusters(
     selflabels: np.ndarray,
     video_ids: list[str],
@@ -114,23 +145,42 @@ def export_from_checkpoint(
     ).items()}
     labels = getattr(dataset, "labels", np.zeros(len(dataset), np.int64))
     gt_classes = [idx_to_class.get(int(l), str(int(l))) for l in labels]
+    starts = ends = None
     if hasattr(dataset, "_path_to_videos"):
         valid = list(getattr(dataset, "valid_indices"))
-        video_ids = [
-            os.path.splitext(
-                os.path.basename(dataset._path_to_videos[i])
-            )[0]
-            for i in valid
-        ]
+        paths = [dataset._path_to_videos[i] for i in valid]
+        if getattr(dataset, "ds_name", "") in YOUTUBE_FILENAME_DATASETS:
+            # real timestamps + youtube ids so browser embeds point at
+            # the actual clip window (reference
+            # get_clusters_vggsounds.py:40-46); gt class is the parent
+            # directory, exactly as the reference reads it
+            video_ids, starts, ends, gt_classes = [], [], [], []
+            for p in paths:
+                parsed = parse_youtube_filename(p)
+                if parsed is None:
+                    vid = os.path.splitext(os.path.basename(p))[0]
+                    s, e = 0.0, 10.0
+                else:
+                    vid, s, e = parsed
+                video_ids.append(vid)
+                starts.append(float(s))
+                ends.append(float(e))
+                gt_classes.append(os.path.basename(os.path.dirname(p)))
+        else:
+            video_ids = [
+                os.path.splitext(os.path.basename(p))[0] for p in paths
+            ]
     else:
         video_ids = [f"sample_{i}" for i in range(len(dataset))]
 
     meta = None
     if meta_classes_path and os.path.exists(meta_classes_path):
-        with open(meta_classes_path) as f:
-            meta = json.load(f)
+        meta = load_meta_classes(meta_classes_path)
 
-    clusters = extract_clusters(selflabels, video_ids, gt_classes, head=head)
+    clusters = extract_clusters(
+        selflabels, video_ids, gt_classes, starts=starts, ends=ends,
+        head=head,
+    )
     return write_clusters_js(
         clusters, os.path.join(out_dir, "clusters.js"), meta_classes=meta
     )

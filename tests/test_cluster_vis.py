@@ -27,3 +27,66 @@ def test_extract_and_write(tmp_path):
     body = open(out).read()
     assert body.startswith("var clusters = ")
     json.loads(body[len("var clusters = "):].rstrip(";\n"))
+
+
+def test_parse_youtube_filename_windows():
+    """Reference filename contract: '{ytid}_{start}_{end}.mp4' where the
+    id itself may contain underscores (get_clusters_vggsounds.py:40-46)."""
+    from selavi_tpu.eval.cluster_vis import parse_youtube_filename
+
+    assert parse_youtube_filename(
+        "/d/train/dog_barking/aB-c_9xK_10_20.mp4"
+    ) == ("aB-c_9xK", 10, 20)
+    assert parse_youtube_filename("/d/train/x/vid_0_10.avi") == (
+        "vid", 0, 10
+    )
+    # no integer window -> None (caller falls back to generic ids)
+    assert parse_youtube_filename("/d/train/x/clip_one.mp4") is None
+    assert parse_youtube_filename("/d/train/x/short.mp4") is None
+
+
+def test_export_vggsound_shaped_paths(tmp_path):
+    """End-to-end over a synthetic path list shaped like the reference's:
+    youtube ids + real clip windows + meta-classes with space keys."""
+    import pickle
+    from types import SimpleNamespace
+
+    from selavi_tpu.eval.cluster_vis import export_from_checkpoint
+
+    paths = [
+        "/data/train/dog_barking/ytA_-x_10_20.mp4",
+        "/data/train/dog_barking/ytB_30_40.mp4",
+        "/data/train/car_horn/ytC_5_15.mp4",
+        "/data/train/car_horn/oddname.mp4",  # no window -> generic
+    ]
+    class DS(SimpleNamespace):
+        def __len__(self):
+            return len(self._path_to_videos)
+
+    ds = DS(
+        ds_name="vggsound",
+        _path_to_videos=paths,
+        valid_indices=[0, 1, 2, 3],
+        labels=np.array([0, 0, 1, 1]),
+        class_to_idx={"dog_barking": 0, "car_horn": 1},
+    )
+    ckpt = tmp_path / "ckpt.pkl"
+    with open(ckpt, "wb") as f:
+        pickle.dump({"selflabels": np.array([[0], [0], [1], [1]])}, f)
+    meta = tmp_path / "meta.json"
+    meta.write_text(json.dumps({"dog barking": "animals",
+                                "car horn": "vehicle"}))
+    out = export_from_checkpoint(
+        str(ckpt), ds, out_dir=str(tmp_path / "out"),
+        meta_classes_path=str(meta),
+    )
+    by_cluster = {e["cluster"]: e for e in out}
+    s0 = {s["id"]: s for s in by_cluster[0]["samples"]}
+    assert s0["ytA_-x"]["start"] == 10.0 and s0["ytA_-x"]["end"] == 20.0
+    assert s0["ytA_-x"]["gt"] == "dog_barking"
+    # meta-classes keys were space->underscore normalized
+    assert s0["ytA_-x"]["meta"] == "animals"
+    s1 = {s["id"]: s for s in by_cluster[1]["samples"]}
+    assert s1["ytC"]["start"] == 5.0
+    assert s1["oddname"]["start"] == 0.0  # graceful generic fallback
+    assert s1["oddname"]["meta"] == "vehicle"
