@@ -203,6 +203,12 @@ def parse_arguments() -> argparse.ArgumentParser:
                              "echoing, arXiv:1907.05550) - raises "
                              "throughput ~xN on input-bound hosts; 1 = "
                              "reference semantics")
+    parser.add_argument("--sk_cache_batches", type="bool", default="False",
+                        help="cache decoded batches ON DEVICE across the "
+                             "ind_groups aggregation passes of each SK "
+                             "step (one decode+H2D per step; groups still "
+                             "see fresh device augmentations). Needs the "
+                             "dataset to fit in HBM")
     parser.add_argument("--strict_probe", type="bool", default="False",
                         help="fail dataset construction when no ffprobe "
                              "binary exists instead of skipping the "

@@ -163,7 +163,6 @@ class SyntheticAVDataset:
         # --- audio: class-frequency sine + harmonics, int16 scale
         sr = self.aud_sample_rate
         dur = self.num_sec + 1  # file longer than the clip, like real videos
-        tt = np.arange(dur * sr) / sr
         if self._sig_v2:
             # log-spaced fundamentals spanning [110, 0.35*sr]: distinct
             # and alias-free for any class count (v1's 2^(label/2) passes
@@ -178,22 +177,73 @@ class SyntheticAVDataset:
         else:
             f0 = 110.0 * (2.0 ** (label / 2.0))
             h_amp = 0.3
-        wav = (
-            0.6 * np.sin(2 * np.pi * f0 * tt + self._phase[idx])
-            + h_amp * np.sin(2 * np.pi * 2 * f0 * tt)
-            + 0.05 * rng.standard_normal(len(tt))
-        )
-        wav = (wav * 8000).astype(np.float64)
 
-        fr_secs = [
-            rng.uniform(0, dur - self.num_sec) for _ in range(num_clips)
-        ]
         out = {
             "video": video,  # [T*num_clips, H, W, 3] uint8
             "label": label,
             "index": idx,
             "vid_idx": idx,
         }
+        def synth(start_sample: int, length: int) -> np.ndarray:
+            """Sample the class waveform on [start, start+length) only —
+            sine phases are absolute in time, so windowed synthesis is
+            identical math at a fraction of the cost (the v1 path keeps
+            full-duration synthesis for bit-compat with <=12-class
+            records)."""
+            tt = (
+                np.arange(start_sample, start_sample + length) / sr
+            ).astype(np.float32)
+            w = 0.6 * np.sin(
+                2 * np.pi * f0 * tt + self._phase[idx], dtype=np.float32
+            ) + h_amp * np.sin(2 * np.pi * 2 * f0 * tt, dtype=np.float32)
+            w += 0.05 * rng.standard_normal(length).astype(np.float32)
+            return w * 8000.0
+
+        if self._sig_v2:
+            fr_secs = [
+                rng.uniform(0, dur - self.num_sec)
+                for _ in range(num_clips)
+            ]
+            clips = [
+                synth(int(np.round(fs * sr)), self.num_sec * sr)
+                for fs in fr_secs
+            ]
+            if self.return_pcm:
+                out["audio_pcm"] = (
+                    clips[0].astype(np.float32)
+                    if num_clips == 1
+                    else np.stack(clips).astype(np.float32)
+                )
+            else:
+                specs = [
+                    get_spec(
+                        c,
+                        0.0,
+                        num_sec=self.num_sec,
+                        sample_rate=sr,
+                        aud_spec_type=self.aud_spec_type,
+                        z_normalize=self.z_normalize,
+                        rng=rng,
+                    )[0].astype(np.float32)
+                    for c in clips
+                ]
+                out["audio"] = (
+                    specs[0] if num_clips == 1 else np.stack(specs, axis=-1)
+                )
+            return out
+
+        # v1: full-duration float64 synthesis with fr_secs drawn AFTER the
+        # noise — the RNG consumption order the <=12-class records pinned
+        tt = np.arange(dur * sr) / sr
+        wav = (
+            0.6 * np.sin(2 * np.pi * f0 * tt + self._phase[idx])
+            + h_amp * np.sin(2 * np.pi * 2 * f0 * tt)
+            + 0.05 * rng.standard_normal(len(tt))
+        )
+        wav = (wav * 8000).astype(np.float64)
+        fr_secs = [
+            rng.uniform(0, dur - self.num_sec) for _ in range(num_clips)
+        ]
         if self.return_pcm:
             # device-spectrogram path: ship the raw clip waveform; the
             # fused on-device kernel (ops/logmel.py) computes the spec.

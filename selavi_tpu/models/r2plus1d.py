@@ -26,7 +26,7 @@ TPU-first design notes (not a port):
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -157,7 +157,15 @@ class BN(nn.Module):
 
 
 class Conv2Plus1D(nn.Module):
-    """Factorized 3D conv: spatial -> BN -> ReLU -> temporal."""
+    """Factorized 3D conv: spatial -> BN -> ReLU -> temporal.
+
+    ``midplanes``: explicit intermediate width. torchvision's BasicBlock
+    computes midplanes ONCE per block from (inplanes, planes) and hands
+    the same value to both of its factorized convs — so a transition
+    block's conv2 gets the conv1 width (230/460/921), NOT the value the
+    formula would give for its own (out, out) channels. Parity with
+    reference checkpoints requires honoring that.
+    """
 
     in_planes: int
     out_planes: int
@@ -165,14 +173,17 @@ class Conv2Plus1D(nn.Module):
     dtype: Dtype = jnp.float32
     impl: str = "3d"
     midplanes_mode: str = "parity"  # 'parity' | 'aligned'
+    midplanes: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        mid = (
-            _aligned_midplanes(self.in_planes, self.out_planes)
-            if self.midplanes_mode == "aligned"
-            else _midplanes(self.in_planes, self.out_planes)
-        )
+        mid = self.midplanes
+        if mid is None:
+            mid = (
+                _aligned_midplanes(self.in_planes, self.out_planes)
+                if self.midplanes_mode == "aligned"
+                else _midplanes(self.in_planes, self.out_planes)
+            )
         x = SpatialConv(
             mid, 3, self.stride, 1, dtype=self.dtype, impl=self.impl,
             name="spatial",
@@ -240,17 +251,28 @@ class BasicBlock2Plus1D(nn.Module):
     def __call__(self, x, train: bool):
         residual = x
 
+        # torchvision computes ONE midplanes per block from
+        # (inplanes, planes) and shares it across both factorized convs
+        # (video/resnet.py BasicBlock) — so conv2 of a transition block
+        # uses the transition width, not its own (out, out) formula.
+        # 'aligned' keeps this repo's recorded per-conv MXU rounding.
+        block_mid = (
+            _midplanes(self.in_planes, self.planes)
+            if self.midplanes_mode == "parity"
+            else None
+        )
         out = Conv2Plus1D(
             self.in_planes, self.planes, self.stride, dtype=self.dtype,
             impl=self.impl, midplanes_mode=self.midplanes_mode,
-            name="conv1",
+            midplanes=block_mid, name="conv1",
         )(x, train)
         out = BN(dtype=self.dtype, name="bn1")(out, train)
         out = nn.relu(out)
 
         out = Conv2Plus1D(
             self.planes, self.planes, 1, dtype=self.dtype, impl=self.impl,
-            midplanes_mode=self.midplanes_mode, name="conv2",
+            midplanes_mode=self.midplanes_mode, midplanes=block_mid,
+            name="conv2",
         )(out, train)
         out = BN(dtype=self.dtype, name="bn2")(out, train)
 

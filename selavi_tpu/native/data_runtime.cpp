@@ -30,64 +30,134 @@ namespace {
 constexpr double kPi = 3.14159265358979323846;
 
 // ---------------------------------------------------------------- FFT ----
-// Iterative radix-2 complex FFT, in place. n must be a power of two.
-void fft_inplace(double* re, double* im, int n) {
-  // bit reversal
-  for (int i = 1, j = 0; i < n; ++i) {
-    int bit = n >> 1;
-    for (; j & bit; bit >>= 1) j ^= bit;
-    j ^= bit;
-    if (i < j) {
-      std::swap(re[i], re[j]);
-      std::swap(im[i], im[j]);
+// Precomputed radix-2 plan shared by every frame of every batch sample:
+// bit-reversal permutation + per-stage twiddle tables (removes the serial
+// sin/cos recurrence of the naive loop), and the SPARSE structure of the
+// triangular mel filters (each filter touches a short contiguous bin run,
+// so the dense [nfilt, nbins] projection is ~95% multiplications by zero).
+struct FftPlan {
+  int n;
+  std::vector<int> bitrev;
+  std::vector<float> tw_re, tw_im;  // concatenated per-stage tables
+  std::vector<int> stage_off;       // offset of each stage's table
+  // sparse mel: filter m covers bins [lo[m], hi[m]) with weights w
+  std::vector<int> mel_lo, mel_hi, mel_off;
+  std::vector<float> mel_w;
+
+  FftPlan(int nfft, const double* fb, int nfilt) : n(nfft) {
+    bitrev.resize(n);
+    for (int i = 1, j = 0; i < n; ++i) {
+      int bit = n >> 1;
+      for (; j & bit; bit >>= 1) j ^= bit;
+      j ^= bit;
+      bitrev[i] = j;
+    }
+    stage_off.clear();
+    for (int len = 2; len <= n; len <<= 1) {
+      stage_off.push_back((int)tw_re.size());
+      for (int j = 0; j < len / 2; ++j) {
+        double ang = -2.0 * kPi * j / len;
+        tw_re.push_back((float)std::cos(ang));
+        tw_im.push_back((float)std::sin(ang));
+      }
+    }
+    const int nbins = n / 2 + 1;
+    mel_lo.resize(nfilt);
+    mel_hi.resize(nfilt);
+    mel_off.resize(nfilt);
+    for (int m = 0; m < nfilt; ++m) {
+      const double* row = fb + (size_t)m * nbins;
+      int lo = 0, hi = nbins;
+      while (lo < nbins && row[lo] == 0.0) ++lo;
+      while (hi > lo && row[hi - 1] == 0.0) --hi;
+      mel_lo[m] = lo;
+      mel_hi[m] = hi;
+      mel_off[m] = (int)mel_w.size();
+      for (int b = lo; b < hi; ++b) mel_w.push_back((float)row[b]);
     }
   }
-  for (int len = 2; len <= n; len <<= 1) {
-    double ang = -2.0 * kPi / len;
-    double wr = std::cos(ang), wi = std::sin(ang);
-    for (int i = 0; i < n; i += len) {
-      double cur_r = 1.0, cur_i = 0.0;
-      for (int j = 0; j < len / 2; ++j) {
-        double ur = re[i + j], ui = im[i + j];
-        double vr = re[i + j + len / 2] * cur_r - im[i + j + len / 2] * cur_i;
-        double vi = re[i + j + len / 2] * cur_i + im[i + j + len / 2] * cur_r;
-        re[i + j] = ur + vr;
-        im[i + j] = ui + vi;
-        re[i + j + len / 2] = ur - vr;
-        im[i + j + len / 2] = ui - vi;
-        double nr = cur_r * wr - cur_i * wi;
-        cur_i = cur_r * wi + cur_i * wr;
-        cur_r = nr;
+
+  void fft(float* re, float* im) const {
+    int stage = 0;
+    for (int len = 2; len <= n; len <<= 1, ++stage) {
+      const float* wr = tw_re.data() + stage_off[stage];
+      const float* wi = tw_im.data() + stage_off[stage];
+      const int half = len / 2;
+      for (int i = 0; i < n; i += len) {
+        float* re0 = re + i;
+        float* im0 = im + i;
+        float* re1 = re0 + half;
+        float* im1 = im0 + half;
+        for (int j = 0; j < half; ++j) {
+          float vr = re1[j] * wr[j] - im1[j] * wi[j];
+          float vi = re1[j] * wi[j] + im1[j] * wr[j];
+          float ur = re0[j], ui = im0[j];
+          re0[j] = ur + vr;
+          im0[j] = ui + vi;
+          re1[j] = ur - vr;
+          im1[j] = ui - vi;
+        }
       }
     }
   }
-}
+};
 
 void one_sample_logfbank(
-    const float* pcm, int slen, int sr, int nfft, int frame_len,
-    int frame_step, int nframes, const double* fb /* [nfilt, nfft/2+1] */,
-    int nfilt, double preemph, float* out /* [nfilt, nframes] */) {
+    const float* pcm, int slen, int nfft, int frame_len, int frame_step,
+    int nframes, const FftPlan& plan, int nfilt, double preemph,
+    float* out /* [nfilt, nframes] */) {
   const int nbins = nfft / 2 + 1;
-  std::vector<double> sig(slen);
+  std::vector<float> sig(slen);
   sig[0] = pcm[0];
-  for (int i = 1; i < slen; ++i) sig[i] = pcm[i] - preemph * pcm[i - 1];
+  for (int i = 1; i < slen; ++i)
+    sig[i] = pcm[i] - (float)preemph * pcm[i - 1];
 
-  std::vector<double> re(nfft), im(nfft), pspec(nbins);
-  for (int f = 0; f < nframes; ++f) {
-    const int start = f * frame_step;
-    std::fill(re.begin(), re.end(), 0.0);
-    std::fill(im.begin(), im.end(), 0.0);
-    const int avail = std::max(0, std::min(frame_len, slen - start));
-    for (int i = 0; i < avail; ++i) re[i] = sig[start + i];
-    fft_inplace(re.data(), im.data(), nfft);
-    for (int b = 0; b < nbins; ++b)
-      pspec[b] = (re[b] * re[b] + im[b] * im[b]) / nfft;
-    for (int m = 0; m < nfilt; ++m) {
-      double acc = 0.0;
-      const double* fbrow = fb + (size_t)m * nbins;
-      for (int b = 0; b < nbins; ++b) acc += pspec[b] * fbrow[b];
-      if (acc <= 0.0) acc = 2.220446049250313e-16;  // numpy float64 eps
-      out[(size_t)m * nframes + f] = (float)std::log(acc);
+  // two real frames per complex FFT: z = frame_f + i*frame_{f+1};
+  // X[k] = (Z[k] + conj(Z[n-k]))/2, Y[k] = (Z[k] - conj(Z[n-k]))/(2i)
+  std::vector<float> re(nfft), im(nfft);
+  std::vector<float> pspec0(nbins), pspec1(nbins);
+  const float inv_n = 1.0f / (float)nfft;
+  for (int f = 0; f < nframes; f += 2) {
+    const bool pair = f + 1 < nframes;
+    std::fill(re.begin(), re.end(), 0.0f);
+    std::fill(im.begin(), im.end(), 0.0f);
+    {
+      // write inputs bit-reverse-permuted so the FFT body skips the swap
+      const int start = f * frame_step;
+      const int avail = std::max(0, std::min(frame_len, slen - start));
+      for (int i = 0; i < avail; ++i)
+        re[plan.bitrev[i]] = sig[start + i];
+    }
+    if (pair) {
+      const int start = (f + 1) * frame_step;
+      const int avail = std::max(0, std::min(frame_len, slen - start));
+      for (int i = 0; i < avail; ++i)
+        im[plan.bitrev[i]] = sig[start + i];
+    }
+    plan.fft(re.data(), im.data());
+    const int mask = nfft - 1;
+    for (int b = 0; b < nbins; ++b) {
+      const int nk = (nfft - b) & mask;
+      const float xr = 0.5f * (re[b] + re[nk]);
+      const float xi = 0.5f * (im[b] - im[nk]);
+      pspec0[b] = (xr * xr + xi * xi) * inv_n;
+      if (pair) {
+        const float yr = 0.5f * (im[b] + im[nk]);
+        const float yi = 0.5f * (re[nk] - re[b]);
+        pspec1[b] = (yr * yr + yi * yi) * inv_n;
+      }
+    }
+    for (int half = 0; half < (pair ? 2 : 1); ++half) {
+      const float* ps = half ? pspec1.data() : pspec0.data();
+      const int col = f + half;
+      for (int m = 0; m < nfilt; ++m) {
+        double acc = 0.0;
+        const float* w = plan.mel_w.data() + plan.mel_off[m];
+        for (int b = plan.mel_lo[m]; b < plan.mel_hi[m]; ++b)
+          acc += (double)ps[b] * (double)w[b - plan.mel_lo[m]];
+        if (acc <= 0.0) acc = 2.220446049250313e-16;  // float64 eps
+        out[(size_t)m * nframes + col] = (float)std::log(acc);
+      }
     }
   }
 }
@@ -120,9 +190,11 @@ void selavi_logfbank_batch(const float* pcm, int batch, int slen, int sr,
                            const double* fb, int nfilt, int nfft,
                            int frame_len, int frame_step, int nframes,
                            double preemph, float* out, int nthreads) {
+  (void)sr;
+  const FftPlan plan(nfft, fb, nfilt);  // shared, read-only across threads
   parallel_for_impl(batch, nthreads, [&](int b) {
-    one_sample_logfbank(pcm + (size_t)b * slen, slen, sr, nfft, frame_len,
-                        frame_step, nframes, fb, nfilt, preemph,
+    one_sample_logfbank(pcm + (size_t)b * slen, slen, nfft, frame_len,
+                        frame_step, nframes, plan, nfilt, preemph,
                         out + (size_t)b * nfilt * nframes);
   });
 }

@@ -63,6 +63,16 @@ class SKConfig:
     # (~97% agreement on random instances) — fp32 is the default; opt in
     # with --sk_bf16 when the SK phase is a measured bottleneck.
     sk_m_bf16: bool = False
+    # cache the decoded batches ON DEVICE across independent head groups:
+    # ONE decode + host->device transfer per SK step instead of
+    # ind_groups of them; groups still differ by their device-side
+    # augmentations (fresh rng per encode call). The reference re-reads
+    # the dataset per group because its augmentations are host-side
+    # (sk_utils.py:194-196); with device augmentation the re-read only
+    # re-decodes identical pixels. Opt-in: the cache must fit in HBM
+    # (N * bytes/sample), so it is for small/medium datasets or
+    # row-sharded multi-chip aggregation.
+    cache_group_batches: bool = False
     feat_dim: int = 512  # encoder GAP feature width
 
 
@@ -154,12 +164,21 @@ def cluster(
     np_rng.shuffle(order_heads)
     assert cfg.ind_groups <= cfg.headcount
 
+    cached_batches = None
     for grp in range(cfg.ind_groups):
         heads_in_group = order_heads[grp :: cfg.ind_groups]
 
-        # 1. full-dataset eval-mode feature aggregation (fresh augs per group)
+        # 1. full-dataset eval-mode feature aggregation (fresh augs per
+        # group; with cache_group_batches the pixels are decoded and
+        # transferred once and only the device augmentations differ)
+        if cfg.cache_group_batches:
+            if cached_batches is None:
+                cached_batches = list(make_batch_iter())
+            batch_iter = iter(cached_batches)
+        else:
+            batch_iter = make_batch_iter()
         ps_v, ps_a = aggregate_features(
-            encode_fn, make_batch_iter(), n, feat_dim=cfg.feat_dim,
+            encode_fn, batch_iter, n, feat_dim=cfg.feat_dim,
             sharding=feature_sharding,
         )
 

@@ -184,6 +184,7 @@ class Trainer:
             diff_dist_per_head=args.diff_dist_per_head,
             sk_backend=getattr(args, "sk_backend", "auto"),
             sk_m_bf16=getattr(args, "sk_bf16", False),
+            cache_group_batches=getattr(args, "sk_cache_batches", False),
         )
         self.sk_schedule = make_sk_schedule(
             args.epochs,
@@ -269,6 +270,7 @@ class Trainer:
             seed=self.args.seed + 7919 + self._eval_iter_count,
             rank=jax.process_index(),
             world_size=n_proc,
+            worker_mode=getattr(self.args, "worker_mode", "thread"),
         )
         return decode_wire_batches(
             self._prefetch(iter(eval_loader), depth=2)

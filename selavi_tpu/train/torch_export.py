@@ -85,8 +85,11 @@ def export_video_tower(
                 sd[t + f"{conv_i}.0.3.weight"] = _conv_out(
                     entry[conv_i]["temporal"]["conv"]["kernel"]
                 )
-            for bn_i in ("bn1", "bn2"):
-                _put_bn(sd, t + bn_i, entry[bn_i]["bn"],
+            # torchvision wraps each factorized conv in a Sequential
+            # (Conv2Plus1D, BN, ReLU) so the block BNs live at
+            # conv1.1 / conv2.1 — there are no bare bn1/bn2 keys
+            for bn_i, tname in (("bn1", "conv1.1"), ("bn2", "conv2.1")):
+                _put_bn(sd, t + tname, entry[bn_i]["bn"],
                         entry_bs[bn_i]["bn"])
             if "downsample" in entry:
                 sd[t + "downsample.0.weight"] = _conv_out(

@@ -7,7 +7,8 @@ published models can be evaluated with this framework's eval suite:
 
 * video tower: torchvision ``VideoResNet`` keys
   (``stem.{0,1,3,4}``, ``layer{1-4}.{0,1}.conv{1,2}.0.{0,1,3}``,
-  ``.bn{1,2}``, ``.downsample.{0,1}``) -> r2plus1d.py module names;
+  ``.conv{1,2}.1`` block BNs, ``.downsample.{0,1}``) -> r2plus1d.py
+  module names;
 * audio tower: torchvision ``ResNet`` keys (``conv1/bn1``,
   ``layer{1-4}.{i}.conv{1,2}/bn{1,2}/downsample``) -> resnet_audio.py;
 * heads: per-name ``mlp_{v,a}{i}.block_forward.{2,4,8}`` MLPv2 modules ->
@@ -102,8 +103,10 @@ def import_video_tower(sd: Dict[str, np.ndarray], prefix="video_network.base."):
                 params, stats = _bn(sd, t + f"{conv_i}.0.1")
                 entry[conv_i]["bn_mid"] = {"bn": params}
                 entry_bs[conv_i]["bn_mid"] = {"bn": stats}
-            for bn_i in ("bn1", "bn2"):
-                params, stats = _bn(sd, t + bn_i)
+            # block BNs live inside the conv Sequentials (conv1.1 /
+            # conv2.1) in torchvision VideoResNet — no bare bn1/bn2
+            for bn_i, tname in (("bn1", "conv1.1"), ("bn2", "conv2.1")):
+                params, stats = _bn(sd, t + tname)
                 entry[bn_i] = {"bn": params}
                 entry_bs[bn_i] = {"bn": stats}
             if t + "downsample.0.weight" in sd:

@@ -151,3 +151,62 @@ def test_matching_at_first_iter_updates_params():
         np.testing.assert_allclose(
             new_kernel[head], wv[head], rtol=1e-4, atol=1e-4
         )
+
+
+def test_cache_group_batches_single_decode_fresh_augs():
+    """cache_group_batches=True: the batch iterator factory is consumed
+    ONCE per SK step (one decode + H2D) while each group's encode still
+    draws fresh augmentations (different rng -> different features)."""
+    n, k, h = 64, 6, 2
+    true, feats_v, feats_a, params = _make_problem(n, k, h)
+    iter_calls = {"n": 0}
+
+    def make_batch_iter():
+        iter_calls["n"] += 1
+
+        def gen():
+            for s in range(0, n, 16):
+                idx = np.arange(s, min(s + 16, n))
+                yield {
+                    "video": jnp.asarray(feats_v[idx]),
+                    "audio": jnp.asarray(feats_a[idx]),
+                    "index": idx,
+                }
+
+        return gen()
+
+    encode_rngs = []
+
+    def encode_fn(video, audio):
+        # the loop-level encode_fn splits a fresh rng per call; model it
+        # with a counter-salted jitter so group features differ
+        encode_rngs.append(len(encode_rngs))
+        salt = float(len(encode_rngs))
+        return video + salt * 1e-3, audio + salt * 1e-3
+
+    def head_logits_fn(p, feats, modality):
+        w = p["wv"] if modality == "v" else p["wa"]
+        return jnp.einsum("nd,hdk->hnk", feats, jnp.asarray(w))
+
+    cfg = SKConfig(
+        headcount=h, num_clusters=k, ind_groups=2, match=False,
+        distribution="gauss", sk_backend="xla", cache_group_batches=True,
+    )
+    labels, _, metrics, _ = cluster(
+        encode_fn=encode_fn,
+        head_logits_fn=head_logits_fn,
+        make_batch_iter=make_batch_iter,
+        params=params,
+        n=n,
+        cfg=cfg,
+        selflabels=np.zeros((n, h), np.int32),
+        marginal_state=MarginalState(),
+        iter_num=1,
+        np_rng=np.random.default_rng(0),
+        true_labels=true,
+    )
+    assert iter_calls["n"] == 1  # ONE decode for both groups
+    # both groups ran a full aggregation pass (4 batches each)
+    assert len(encode_rngs) == 8
+    assert labels.shape == (n, h)
+    assert np.isfinite(metrics["sk_cost"])

@@ -41,16 +41,17 @@ def _fake_video_sd(prefix="video_network.base."):
             cin = inp if b == 0 else out
             st = stride if b == 0 else 1
             t = f"{prefix}layer{stage}.{b}."
-            mid1 = _midplanes(cin, out)
-            conv(t + "conv1.0.0", mid1, cin, (1, 3, 3))
-            bn(t + "conv1.0.1", mid1)
-            conv(t + "conv1.0.3", out, mid1, (3, 1, 1))
-            bn(t + "bn1", out)
-            mid2 = _midplanes(out, out)
-            conv(t + "conv2.0.0", mid2, out, (1, 3, 3))
-            bn(t + "conv2.0.1", mid2)
-            conv(t + "conv2.0.3", out, mid2, (3, 1, 1))
-            bn(t + "bn2", out)
+            # torchvision computes ONE midplanes per block and names the
+            # block BNs conv1.1 / conv2.1 (inside the conv Sequentials)
+            mid = _midplanes(cin, out)
+            conv(t + "conv1.0.0", mid, cin, (1, 3, 3))
+            bn(t + "conv1.0.1", mid)
+            conv(t + "conv1.0.3", out, mid, (3, 1, 1))
+            bn(t + "conv1.1", out)
+            conv(t + "conv2.0.0", mid, out, (1, 3, 3))
+            bn(t + "conv2.0.1", mid)
+            conv(t + "conv2.0.3", out, mid, (3, 1, 1))
+            bn(t + "conv2.1", out)
             if st != 1 or cin != out:
                 conv(t + "downsample.0", out, cin, (1, 1, 1))
                 bn(t + "downsample.1", out)

@@ -127,3 +127,116 @@ def test_mlpv2_head_matches_torch_sequential():
     }
     ours = np.asarray(head.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def _flax_logits(model, params, batch_stats, video_btHWc, audio_bftc):
+    out_v, out_a = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(video_btHWc), jnp.asarray(audio_bftc), train=False,
+    )
+    return np.asarray(out_v, np.float32), np.asarray(out_a, np.float32)
+
+
+def _torch_logits(tmodel, video_btHWc, audio_bftc):
+    tmodel.eval()
+    with torch.no_grad():
+        tv = torch.from_numpy(
+            np.transpose(video_btHWc, (0, 4, 1, 2, 3)).copy()
+        )
+        ta = torch.from_numpy(
+            np.transpose(audio_bftc, (0, 3, 1, 2)).copy()
+        )
+        outs_v, outs_a = tmodel(tv, ta)
+    return (
+        np.stack([o.numpy() for o in outs_v]),
+        np.stack([o.numpy() for o in outs_a]),
+    )
+
+
+def test_full_model_logits_parity_export_then_torch():
+    """Ours -> export_reference_state_dict -> torch rebuild of the
+    reference AVModel (strict load = full schema check) -> [H,B,K] logits
+    must agree (reference model.py:222-252)."""
+    from tests._torch_ref import TorchAVModel
+    from selavi_tpu.models import load_model
+    from selavi_tpu.train.torch_export import export_reference_state_dict
+
+    headcount, k = 3, 13
+    model = load_model(headcount=headcount, num_classes=k)
+    rng = jax.random.PRNGKey(0)
+    video0 = jnp.zeros((2, 8, 32, 32, 3), jnp.float32)
+    audio0 = jnp.zeros((2, 40, 51, 1), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, video0, audio0,
+                           train=False)
+    nprng = np.random.default_rng(1)
+    params = jax.tree.map(
+        lambda a: np.asarray(a) + nprng.normal(0, 0.02, a.shape)
+        .astype(a.dtype),
+        variables["params"],
+    )
+    # non-trivial BN stats so eval-mode normalization is actually tested
+    batch_stats = jax.tree.map(
+        lambda a: np.abs(np.asarray(a))
+        + nprng.uniform(0.1, 0.5, a.shape).astype(a.dtype),
+        variables["batch_stats"],
+    )
+
+    sd = export_reference_state_dict(params, batch_stats, headcount,
+                                     ddp_prefix="")
+    tmodel = TorchAVModel(headcount=headcount, num_classes=k)
+    # strict=True: every exported key must exist with the right shape AND
+    # every torch parameter must be covered by the export
+    tmodel.load_state_dict(
+        {key: torch.from_numpy(np.ascontiguousarray(v)) for key, v in
+         sd.items()},
+        strict=True,
+    )
+
+    video = nprng.normal(0, 1, (2, 8, 32, 32, 3)).astype(np.float32)
+    audio = nprng.normal(0, 1, (2, 40, 51, 1)).astype(np.float32)
+    ours_v, ours_a = _flax_logits(model, params, batch_stats, video, audio)
+    ref_v, ref_a = _torch_logits(tmodel, video, audio)
+    assert ours_v.shape == ref_v.shape == (headcount, 2, k)
+    np.testing.assert_allclose(ours_v, ref_v, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(ours_a, ref_a, atol=2e-3, rtol=1e-3)
+
+
+def test_full_model_logits_parity_torch_then_import(tmp_path):
+    """The inverse: an independently-initialized torch reference model,
+    saved as a reference-schema .pth, imported via torch_import — flax
+    logits must reproduce the torch forward."""
+    from tests._torch_ref import TorchAVModel
+    from selavi_tpu.models import load_model
+    from selavi_tpu.train.torch_import import import_reference_checkpoint
+
+    headcount, k = 2, 7
+    tmodel = TorchAVModel(headcount=headcount, num_classes=k)
+    # make BN running stats non-trivial by actually running train steps
+    tmodel.train()
+    with torch.no_grad():
+        for _ in range(2):
+            tmodel(torch.randn(4, 3, 8, 32, 32), torch.randn(4, 1, 40, 51))
+
+    path = str(tmp_path / "ref.pth")
+    torch.save(
+        {"model": {"module." + key: v for key, v in
+                   tmodel.state_dict().items()}},
+        path,
+    )
+    params, batch_stats = import_reference_checkpoint(
+        path, headcount=headcount
+    )
+
+    model = load_model(headcount=headcount, num_classes=k)
+    nprng = np.random.default_rng(3)
+    video = nprng.normal(0, 1, (2, 8, 32, 32, 3)).astype(np.float32)
+    audio = nprng.normal(0, 1, (2, 40, 51, 1)).astype(np.float32)
+    ours_v, ours_a = _flax_logits(
+        model,
+        jax.tree.map(jnp.asarray, params),
+        jax.tree.map(jnp.asarray, batch_stats),
+        video, audio,
+    )
+    ref_v, ref_a = _torch_logits(tmodel, video, audio)
+    np.testing.assert_allclose(ours_v, ref_v, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(ours_a, ref_a, atol=2e-3, rtol=1e-3)
