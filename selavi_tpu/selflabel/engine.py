@@ -373,9 +373,16 @@ def cluster_entropy_purity(pred: np.ndarray, truth: np.ndarray):
 
 def _apply_audio_perm(params: dict, head: int, perm: np.ndarray) -> dict:
     """Permute the final Dense of audio head ``head`` inside the vmapped
-    head-stack params (leading head axis)."""
+    head-stack params (leading head axis). Device placement is preserved:
+    leaves come back on their original shardings, so downstream jitted
+    consumers (head_logits over row-sharded features) keep a consistent
+    participant set — feeding host arrays into a mesh computation can
+    wedge the collective runtime."""
     from selavi_tpu.parallel.mesh import fetch_to_host
 
+    shardings = jax.tree.map(
+        lambda a: getattr(a, "sharding", None), params
+    )
     # params may be sharded (head stacks over 'model', possibly across
     # hosts) — gather every leaf to host rather than raw device_get
     params = jax.tree.map(fetch_to_host, params)
@@ -386,4 +393,7 @@ def _apply_audio_perm(params: dict, head: int, perm: np.ndarray) -> dict:
     bias[head] = bias[head][perm]
     proj["kernel"] = kernel
     proj["bias"] = bias
-    return params
+    return jax.tree.map(
+        lambda a, s: a if s is None else jax.device_put(a, s),
+        params, shardings,
+    )
