@@ -89,8 +89,9 @@ def main(argv=None):
             params=jax.tree.map(jnp.asarray, params),
             batch_stats=jax.tree.map(jnp.asarray, batch_stats),
         )
-    else:
+    elif args.weights_path and args.weights_path != "None":
         state = load_model_parameters(state, args.weights_path)
+    # else: random init (smoke/regression runs without a checkpoint)
 
     mesh = make_mesh()
     dsh = data_sharding(mesh)
@@ -100,20 +101,30 @@ def main(argv=None):
     )
     head_logits = make_head_logits_fn(model)
 
+    # pod-sharded inference (reference get_clusters.py:98-147,257-265):
+    # each process decodes a strided subset (--batch_size is per process),
+    # batches assemble into globally-sharded arrays, features stay
+    # row-sharded, process 0 writes the pickle
+    n_proc = jax.process_count()
     loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=False,
-                        drop_last=False, num_workers=args.workers)
+                        drop_last=False, num_workers=args.workers,
+                        rank=jax.process_index(), world_size=n_proc)
     batches = decode_wire_batches(
-        device_prefetch(iter(loader), sharding=dsh)
+        device_prefetch(iter(loader), sharding=dsh,
+                        mesh=mesh if n_proc > 1 else None)
     )
 
-    dump_cluster_matrices(
-        lambda v, a: encode(state.params, state.batch_stats, v, a),
-        lambda f, m: head_logits(state.params, state.batch_stats, f, m),
-        batches,
-        len(dataset),
-        args.output_path,
-    )
-    print(f"wrote {args.output_path}")
+    with mesh:
+        dump_cluster_matrices(
+            lambda v, a: encode(state.params, state.batch_stats, v, a),
+            lambda f, m: head_logits(state.params, state.batch_stats, f, m),
+            batches,
+            len(dataset),
+            args.output_path,
+            sharding=dsh if n_proc > 1 else None,
+        )
+    if jax.process_index() == 0:
+        print(f"wrote {args.output_path}")
 
 
 if __name__ == "__main__":

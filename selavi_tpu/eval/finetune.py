@@ -243,21 +243,38 @@ def evaluate(
     ds: str = "hmdb51",
 ) -> tuple[float, float, float]:
     """Clip-level loss + video-level acc@1/acc@5
-    (reference finetune_video.py:421-500)."""
+    (reference finetune_video.py:421-500).
+
+    Multi-host aware: batches may be globally sharded (pod-sharded test
+    loader); fields are gathered via ``fetch_to_host`` and the video
+    aggregation drops rank-padding duplicates (identified by the batch
+    ``index``), so video accuracies are identical for any process count."""
+    from selavi_tpu.parallel.mesh import fetch_to_host
+
     losses, top1 = AverageMeter(), AverageMeter()
     softmaxes: dict = {}
     labels_by_vid: dict = {}
+    seen: set = set()
     for batch in loader:
+        labels = fetch_to_host(batch["label"])
         logits, loss = eval_step(
-            params, batch_stats, batch["video"], jnp.asarray(batch["label"])
+            params, batch_stats, batch["video"], jnp.asarray(labels)
         )
-        logits = np.asarray(logits)
+        logits = fetch_to_host(logits)
         losses.update(float(loss), len(logits))
-        acc1, _ = topk_accuracy(logits, batch["label"], (1, 5))
+        acc1, _ = topk_accuracy(logits, labels, (1, 5))
         top1.update(acc1, len(logits))
-        for j, vid in enumerate(batch["vid_idx"]):
+        vids = fetch_to_host(batch["vid_idx"])
+        idxs = (
+            fetch_to_host(batch["index"]) if "index" in batch else None
+        )
+        for j, vid in enumerate(vids):
+            if idxs is not None:
+                if int(idxs[j]) in seen:
+                    continue
+                seen.add(int(idxs[j]))
             softmaxes.setdefault(int(vid), []).append(logits[j])
-            labels_by_vid[int(vid)] = int(batch["label"][j])
+            labels_by_vid[int(vid)] = int(labels[j])
     vid_acc1, vid_acc5 = aggregate_video_accuracy(
         softmaxes, labels_by_vid, topk=(1, 5)
     )

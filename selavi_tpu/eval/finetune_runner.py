@@ -132,14 +132,21 @@ def run_fold(
         else jnp.float32,
     )
 
+    # pod-sharded loaders (--batch_size is per process): strided subsets
+    # per process, globally-assembled device batches, GSPMD grad psum —
+    # the reference's DistributedSampler + DDP (finetune_video.py:616-650)
+    n_proc = jax.process_count()
     loader = DataLoader(
         dataset, batch_size=args.batch_size, shuffle=True, drop_last=True,
         num_workers=args.workers, seed=0,
+        rank=jax.process_index(), world_size=n_proc,
     )
     loader_test = DataLoader(
         dataset_test, batch_size=args.batch_size, shuffle=False,
         drop_last=False, num_workers=args.workers,
+        rank=jax.process_index(), world_size=n_proc,
     )
+    gmesh = mesh if n_proc > 1 else None
 
     example = dataset.get_example(0, np.random.default_rng(0))
     rng = jax.random.PRNGKey(0)
@@ -189,11 +196,22 @@ def run_fold(
             logger.info("resumed finetune fold %d at epoch %d", fold,
                         start_epoch)
 
+    if n_proc > 1:
+        # commit model/opt state replicated on the global mesh so the
+        # jitted steps see one consistent participant set (after resume,
+        # which restores host trees)
+        from selavi_tpu.parallel.mesh import replicated_sharding
+
+        rep = replicated_sharding(mesh)
+        params = jax.device_put(params, rep)
+        batch_stats = jax.device_put(batch_stats, rep)
+        opt_state = jax.device_put(opt_state, rep)
+
     if getattr(args, "test_only", False):
         # evaluation-only mode (reference finetune_video.py:283-292)
         _, vid1, vid5 = evaluate(
             eval_step, params, batch_stats,
-            device_prefetch(iter(loader_test), sharding=dsh),
+            device_prefetch(iter(loader_test), sharding=dsh, mesh=gmesh),
             writer=writer, epoch=start_epoch, ds=args.dataset,
         )
         return vid1, vid5, start_epoch
@@ -203,7 +221,7 @@ def run_fold(
         loader.set_epoch(epoch)
         losses, top1 = AverageMeter(), AverageMeter()
         for it, batch in enumerate(
-            device_prefetch(iter(loader), sharding=dsh)
+            device_prefetch(iter(loader), sharding=dsh, mesh=gmesh)
         ):
             rng, sub = jax.random.split(rng)
             params, batch_stats, opt_state, loss, logits = train_step(
@@ -214,23 +232,26 @@ def run_fold(
             # per step would serialize host<->device dispatch every
             # iteration (same hygiene as the pretrain loop, train/loop.py)
             if it % 50 == 0:
-                losses.update(float(loss), len(batch["label"]))
+                from selavi_tpu.parallel.mesh import fetch_to_host
+
+                log_labels = fetch_to_host(batch["label"])
+                losses.update(float(loss), len(log_labels))
                 acc1, _ = topk_accuracy(
-                    np.asarray(logits), batch["label"], (1, 5)
+                    fetch_to_host(logits), log_labels, (1, 5)
                 )
-                top1.update(acc1, len(batch["label"]))
+                top1.update(acc1, len(log_labels))
                 logger.info(
                     "Epoch[%d] Iter %d/%d Loss %.4f (%.4f) Prec %.3f",
                     epoch, it, len(loader), losses.val, losses.avg, top1.avg,
                 )
         _, vid1, vid5 = evaluate(
             eval_step, params, batch_stats,
-            device_prefetch(iter(loader_test), sharding=dsh),
+            device_prefetch(iter(loader_test), sharding=dsh, mesh=gmesh),
             writer=writer, epoch=epoch, ds=args.dataset,
         )
         if vid1 > best1:
             best1, best5, best_epoch = vid1, vid5, epoch
-        if ckpt_dir is not None:
+        if ckpt_dir is not None and jax.process_index() == 0:
             import os
 
             blob = {

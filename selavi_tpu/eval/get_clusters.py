@@ -9,14 +9,21 @@ so dumps are cross-checkable against the PyTorch reference.
 
 from __future__ import annotations
 
+import functools
 import logging
 import pickle
 from typing import Callable, Iterator
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_labels(buf, labels, idx):
+    return buf.at[idx].set(labels.astype(jnp.int32))
 
 
 def dump_cluster_matrices(
@@ -26,25 +33,40 @@ def dump_cluster_matrices(
     n: int,
     out_path: str,
     feat_dim: int = 512,
+    sharding=None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (PS_v [H,N,K], labels [N], PS_a [H,N,K]) and writes the
-    reference-schema pickle (list of per-head matrices)."""
+    reference-schema pickle (list of per-head matrices).
+
+    Pod-sharded inference (reference get_clusters.py:98-147,257-265: each
+    rank encodes a strided subset, then all_gather): pass a row
+    ``sharding`` and globally-assembled batches — the accumulators stay
+    distributed over the mesh, labels are scattered on device, and only
+    process 0 writes the pickle (every process returns the full arrays).
+    """
+    from selavi_tpu.parallel.mesh import fetch_to_host
     from selavi_tpu.selflabel.engine import _scatter_features
 
-    labels = np.zeros(n, np.int64)
+    labels_dev = jnp.zeros(n, jnp.int32)
     feats_v = jnp.zeros((n, feat_dim), jnp.float32)
     feats_a = jnp.zeros((n, feat_dim), jnp.float32)
+    if sharding is not None:
+        labels_dev = jax.device_put(labels_dev, sharding)
+        feats_v = jax.device_put(feats_v, sharding)
+        feats_a = jax.device_put(feats_a, sharding)
     for batch in batch_iter:
         fv, fa = encode_fn(
             batch["video"], batch.get("audio", batch.get("audio_pcm"))
         )
-        feats_v, feats_a = _scatter_features(
-            feats_v, feats_a, fv, fa, jnp.asarray(batch["index"])
+        idx = jnp.asarray(batch["index"])
+        feats_v, feats_a = _scatter_features(feats_v, feats_a, fv, fa, idx)
+        labels_dev = _scatter_labels(
+            labels_dev, jnp.asarray(batch["label"]), idx
         )
-        labels[np.asarray(batch["index"])] = np.asarray(batch["label"])
 
-    ps_v = np.asarray(head_logits_fn(feats_v, "v"))  # [H, N, K]
-    ps_a = np.asarray(head_logits_fn(feats_a, "a"))
+    labels = fetch_to_host(labels_dev).astype(np.int64)
+    ps_v = fetch_to_host(head_logits_fn(feats_v, "v"))  # [H, N, K]
+    ps_a = fetch_to_host(head_logits_fn(feats_a, "a"))
 
     # the reference's clustering_metrics.py calls .cpu()/F.softmax on the
     # dump entries, so a truly cross-checkable pickle must hold torch
@@ -65,9 +87,10 @@ def dump_cluster_matrices(
         wrap(labels),
         [wrap(ps_a[h]) for h in range(ps_a.shape[0])],
     ]
-    with open(out_path, "wb") as f:
-        pickle.dump(payload, f)
-    logger.info("dumped cluster matrices to %s", out_path)
+    if jax.process_index() == 0:
+        with open(out_path, "wb") as f:
+            pickle.dump(payload, f)
+        logger.info("dumped cluster matrices to %s", out_path)
     return ps_v, labels, ps_a
 
 

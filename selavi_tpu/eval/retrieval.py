@@ -82,33 +82,47 @@ def collect_features(
     modalities in ONE model apply (the reference's get_audio=True
     ``model(video, audio)`` path, retrieval_utils.py:199-201 — both
     512-d GAP); otherwise ``encode_fn(video)`` (plus optional
-    ``audio_encode_fn``) run separately."""
-    feats, vids, labels, afeats = [], [], [], []
+    ``audio_encode_fn``) run separately.
+
+    Multi-host aware: batch arrays may span processes (globally-assembled
+    pod-sharded loaders) — every value is gathered via ``fetch_to_host``,
+    and rows are deduplicated + sorted by the batch ``index`` so the
+    rank-padding duplicates of ragged tails (mesh.py::pad_local_rows)
+    drop out and the row order is identical for ANY process count."""
+    from selavi_tpu.parallel.mesh import fetch_to_host
+
+    feats, vids, labels, afeats, indices = [], [], [], [], []
     for batch in batch_iter:
         if joint_encode_fn is not None:
             fv, fa = joint_encode_fn(
                 batch["video"],
                 batch.get("audio", batch.get("audio_pcm")),
             )
-            feats.append(np.asarray(fv))
-            afeats.append(np.asarray(fa))
+            feats.append(fetch_to_host(fv))
+            afeats.append(fetch_to_host(fa))
         else:
-            feats.append(np.asarray(encode_fn(batch["video"])))
+            feats.append(fetch_to_host(encode_fn(batch["video"])))
             if audio_encode_fn is not None:
                 afeats.append(
-                    np.asarray(
+                    fetch_to_host(
                         audio_encode_fn(
                             batch.get("audio", batch.get("audio_pcm"))
                         )
                     )
                 )
-        vids.append(np.asarray(batch["vid_idx"]))
-        labels.append(np.asarray(batch["label"]))
+        vids.append(fetch_to_host(batch["vid_idx"]))
+        labels.append(fetch_to_host(batch["label"]))
+        if "index" in batch:
+            indices.append(fetch_to_host(batch["index"]))
     out = (
         np.concatenate(feats),
         np.concatenate(vids),
         np.concatenate(labels),
     )
+    if indices:
+        _, first = np.unique(np.concatenate(indices), return_index=True)
+        out = tuple(a[first] for a in out)
+        afeats = [np.concatenate(afeats)[first]] if afeats else afeats
     if afeats:
         return out + (np.concatenate(afeats),)
     return out

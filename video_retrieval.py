@@ -174,17 +174,24 @@ def main(argv=None):
         encode = make_retrieval_encode_fn(model, pool_op=args.pool_op)
         encode_fn = lambda v: encode(state.params, state.batch_stats, v)
 
+    # pod-sharded feature extraction: each process encodes a strided
+    # subset (reference get_features sharding, retrieval_utils.py:150-197);
+    # collect_features gathers + dedups, so every process ends with the
+    # identical full feature table
+    n_proc = jax.process_count()
     feats = {}
     for split, ds in (("train", train_ds), ("val", test_ds)):
         loader = DataLoader(ds, batch_size=args.batch_size,
                             shuffle=False, drop_last=False,
-                            num_workers=args.workers)
+                            num_workers=args.workers,
+                            rank=jax.process_index(), world_size=n_proc)
         from selavi_tpu.data.loader import decode_wire_batches
 
         out = collect_features(
             encode_fn,
             decode_wire_batches(
-                device_prefetch(iter(loader), sharding=dsh)
+                device_prefetch(iter(loader), sharding=dsh,
+                                mesh=mesh if n_proc > 1 else None)
             ),
             joint_encode_fn=joint_encode,
         )
@@ -197,7 +204,7 @@ def main(argv=None):
                 out[3], v, l, norm_feats=args.norm_feats
             )
             feats[split + "_audio"] = (af, av, al)
-    if args.feature_cache:
+    if args.feature_cache and jax.process_index() == 0:
         # one dump of the FULL dict (incl. *_audio entries and the
         # feature kind) — a second trimmed dump here would strip the
         # audio features a later a-v run needs
