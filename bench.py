@@ -10,7 +10,9 @@ single TPU v5e chip (BASELINE.md). Flags allow probing other shapes.
 
 Measured config (reference VGG-Sound recipe, scripts/master.sh:80-106):
 R(2+1)D-18 + ResNet-9, 10 heads, 309 clusters, 30x112x112 video,
-257x99 audio spectrograms, bf16 compute, per-chip batch 16.
+257x99 audio spectrograms, bf16 compute, per-chip batch 24 (the r2 flag
+sweep measured bs24 +1.5% over bs16 — compute-saturated, and per-chip
+batch must stay a multiple of 8: bs20 costs -16% to misaligned tiling).
 """
 
 from __future__ import annotations
@@ -30,7 +32,7 @@ BASELINE_CLIPS_PER_SEC_PER_CHIP = 185.6
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--batch_size", type=int, default=24)
     p.add_argument("--num_frames", type=int, default=30)
     p.add_argument("--crop", type=int, default=112)
     p.add_argument("--headcount", type=int, default=10)
@@ -46,13 +48,19 @@ def main():
     p.add_argument("--device_spec", action="store_true",
                    help="feed raw PCM and compute spectrograms on device")
     p.add_argument("--metric", type=str, default="train",
-                   choices=["train", "sk"],
+                   choices=["train", "sk", "sk_phase"],
                    help="train: clips/s/chip; sk: Sinkhorn iters/s at "
-                        "VGG-Sound scale")
+                        "VGG-Sound scale; sk_phase: amortized "
+                        "self-labeling phase cost per SK step at paper "
+                        "scale (ind_groups x full-dataset aggregation + "
+                        "per-head solves)")
     args = p.parse_args()
 
     if args.metric == "sk":
         _bench_sk(args)
+        return
+    if args.metric == "sk_phase":
+        _bench_sk_phase(args)
         return
 
     import jax
@@ -186,6 +194,117 @@ def _bench_sk(args):
                 "value": round(value, 1),
                 "unit": "iters/s",
                 "vs_baseline": round(value / BASELINE_SK_ITERS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+def _bench_sk_phase(args):
+    """Amortized self-labeling phase cost at paper scale: a full SK step
+    is ind_groups(2) x whole-dataset augmented aggregation + [H,N,K] head
+    logits + headcount(10) per-head solves over [170752, K]. Reports
+    seconds per SK step plus (in stderr detail) the share of total
+    training time under the paper schedule (nopts=100 over 200 epochs =
+    one SK step every 2 epochs; reference sk_utils.py:137-356)."""
+    import sys
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from selavi_tpu.models import load_model
+    from selavi_tpu.train.step import make_encode_fn, make_head_logits_fn
+    from selavi_tpu.selflabel.sinkhorn import sinkhorn_knopp
+
+    n_paper, k, h, ind_groups = 170752, args.clusters, args.headcount, 2
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = load_model(
+        headcount=h, num_classes=k, dtype=dtype,
+        midplanes_mode="aligned" if args.aligned_midplanes else "parity",
+    )
+    rng = jax.random.PRNGKey(0)
+    bs = 64
+    video = jnp.asarray(np.random.randint(
+        0, 255, (bs, args.num_frames, args.crop, args.crop, 3), np.uint8
+    ))
+    audio = jnp.asarray(
+        np.random.randn(bs, 257, 99, 1).astype(np.float32)
+    )
+    video0 = jnp.zeros((2,) + video.shape[1:], jnp.float32)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, video0,
+        jnp.zeros((2, 257, 99, 1)), train=False,
+    )
+    params, bstats = variables["params"], variables["batch_stats"]
+
+    # 1. aggregation encode rate (augmented eval-mode forward, the SK
+    # aggregation workload)
+    encode = make_encode_fn(model, compute_dtype=dtype, augment=True)
+    fv, fa = encode(params, bstats, video, audio, rng)
+    float(jnp.sum(fv))  # fence (see NOTE above about the axon relay)
+    steps = max(args.steps // 2, 5)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        fv, fa = encode(params, bstats, video, audio, rng)
+    float(jnp.sum(fv))
+    encode_rate = steps * bs / (time.perf_counter() - t0)
+
+    # 2. head logits over the aggregated [N, 512] features, both
+    # modalities (one [H, N, K] einsum each)
+    head_logits = make_head_logits_fn(model)
+    feats = jnp.asarray(
+        np.random.randn(n_paper, 512).astype(np.float32)
+    )
+    lv = head_logits(params, bstats, feats, "v")
+    float(jnp.sum(lv[0, 0]))
+    t0 = time.perf_counter()
+    lv = head_logits(params, bstats, feats, "v")
+    la = head_logits(params, bstats, feats, "a")
+    float(jnp.sum(lv[0, 0]) + jnp.sum(la[0, 0]))
+    logits_sec = time.perf_counter() - t0
+
+    # 3. one per-head solve at converged-instance iteration counts (~11
+    # iters on real sharp instances, BASELINE.md r1): time a real solve
+    # and scale to 11 iters
+    nrng = np.random.default_rng(0)
+    log_ps = jax.nn.log_softmax(
+        jnp.asarray(nrng.standard_normal((n_paper, k)), jnp.float32), 1
+    )
+    log_r = jnp.full((k,), -jnp.log(jnp.float32(k)))
+    use_pallas = jax.default_backend() == "tpu"
+    res = sinkhorn_knopp(log_ps, log_r, use_pallas=use_pallas)
+    int(res.iters)
+    t0 = time.perf_counter()
+    res = sinkhorn_knopp(log_ps, log_r, use_pallas=use_pallas)
+    iters = max(int(res.iters), 1)
+    solve_sec_11 = (time.perf_counter() - t0) / iters * 11.0
+
+    sk_phase_sec = (
+        ind_groups * (n_paper / encode_rate)
+        + ind_groups * logits_sec
+        + h * solve_sec_11
+    )
+    # share of wall time under the paper schedule: one SK step / 2 epochs
+    epoch_sec = n_paper / BASELINE_CLIPS_PER_SEC_PER_CHIP
+    overhead = sk_phase_sec / (sk_phase_sec + 2 * epoch_sec)
+    print(
+        f"sk_phase detail: encode {encode_rate:.1f} clips/s, "
+        f"logits {logits_sec:.2f}s, solve(11 iters) {solve_sec_11:.2f}s, "
+        f"overhead vs train {overhead:.1%} (paper schedule)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "sk_phase_sec_per_step",
+                "value": round(sk_phase_sec, 1),
+                "unit": "s (N=170752, ind_groups=2, 10 heads)",
+                "vs_baseline": round(overhead, 4),
             }
         )
     )
