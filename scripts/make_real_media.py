@@ -1,0 +1,145 @@
+"""Generate a real-encoded audio-video corpus for end-to-end CLI runs.
+
+Writes ``{output}/train/class{c:03d}/vid{i:05d}.mp4`` (cv2/mp4v video) plus
+demuxed ``.wav`` audio sidecars (stdlib ``wave``), so the FULL real-media
+chain — AVideoDataset path-list build, cv2 video decode, sidecar WAV audio
+decode, host spectrograms — runs on hosts with no ffmpeg/PyAV. Class
+content mirrors the synthetic signature v2 (selavi_tpu/data/synthetic.py):
+a class-colored square orbiting at class-dependent speed + a static
+class-position marker over a noise background, and a log-spaced class
+fundamental with one harmonic in the audio. Unlike the live synthetic
+dataset, pixels here are FIXED at encode time (like real videos): temporal
+and spatial crop jitter are the only augmentation variety, matching the
+memorization profile of real data (BASELINE.md r2 notes).
+
+Reference role: stands in for the VGG-Sound/Kinetics download+preprocess
+tooling the reference assumes exists out-of-band (datasets/AVideoDataset.py
+reads pre-downloaded mp4 trees; no generator exists to cite).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import wave
+
+import numpy as np
+
+
+def class_color(label: int) -> np.ndarray:
+    hue = (label * 0.61803398875) % 1.0
+    return (
+        np.array(
+            [
+                0.5 + 0.5 * np.sin(2 * np.pi * hue),
+                0.5 + 0.5 * np.sin(2 * np.pi * hue + 2.1),
+                0.5 + 0.5 * np.sin(2 * np.pi * hue + 4.2),
+            ]
+        )
+        * 255
+    ).astype(np.uint8)
+
+
+def render_video(
+    label: int, num_classes: int, t: int, size: int, phase: float,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    c = size
+    clip = rng.integers(0, 39, size=(t, c, c, 3), dtype=np.uint8)
+    color_u8 = class_color(label)
+    radius, sq = c // 4, max(c // 8, 2)
+    speed = 1.0 + (label % 12)
+    direction = 1.0 if (label // 12) % 2 == 0 else -1.0
+    gx, gy = label % 4, (label // 4) % 4
+    my, mx = int((gy + 0.5) * c / 4), int((gx + 0.5) * c / 4)
+    msq = max(c // 16, 2)
+    clip[
+        :, max(my - msq, 0): my + msq, max(mx - msq, 0): mx + msq, :
+    ] = color_u8
+    # orbit advances per SECOND (t spans `dur` seconds here, not one clip)
+    for f in range(t):
+        ang = phase + direction * speed * (f / t) * 2 * np.pi
+        cy = int(c / 2 + radius * np.sin(ang))
+        cx = int(c / 2 + radius * np.cos(ang))
+        clip[
+            f, max(cy - sq, 0): cy + sq, max(cx - sq, 0): cx + sq, :
+        ] = color_u8
+    return clip
+
+
+def render_audio(
+    label: int, num_classes: int, dur: float, sr: int, phase: float,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    top = 0.35 * sr
+    f0 = 110.0 * (top / 110.0) ** (label / max(num_classes - 1, 1))
+    h_amp = 0.3 if 2 * f0 < 0.45 * sr else 0.0
+    tt = (np.arange(int(dur * sr)) / sr).astype(np.float32)
+    w = 0.6 * np.sin(2 * np.pi * f0 * tt + phase, dtype=np.float32)
+    w += h_amp * np.sin(2 * np.pi * 2 * f0 * tt, dtype=np.float32)
+    w += 0.05 * rng.standard_normal(len(tt)).astype(np.float32)
+    return np.clip(w * 8000.0, -32768, 32767).astype(np.int16)
+
+
+def write_wav(path: str, pcm: np.ndarray, sr: int) -> None:
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
+def main() -> None:
+    import cv2
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--output", type=str, required=True)
+    p.add_argument("--num_videos", type=int, default=512)
+    p.add_argument("--num_classes", type=int, default=16)
+    p.add_argument("--frame_size", type=int, default=160)
+    p.add_argument("--fps", type=float, default=30.0)
+    p.add_argument("--duration", type=float, default=2.0,
+                   help="seconds per clip (audio windows need >= num_sec "
+                        "+ headroom for temporal jitter)")
+    p.add_argument("--aud_sample_rate", type=int, default=24000)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    base = np.random.default_rng(args.seed)
+    labels = base.integers(0, args.num_classes, size=args.num_videos)
+    t = int(round(args.duration * args.fps))
+    for i, label in enumerate(labels):
+        label = int(label)
+        d = os.path.join(args.output, "train", f"class{label:03d}")
+        os.makedirs(d, exist_ok=True)
+        stem = os.path.join(d, f"vid{i:05d}")
+        rng = np.random.default_rng(args.seed * 1_000_003 + i)
+        phase = rng.uniform(0, 2 * np.pi)
+        clip = render_video(
+            label, args.num_classes, t, args.frame_size, phase, rng
+        )
+        writer = cv2.VideoWriter(
+            stem + ".mp4",
+            cv2.VideoWriter_fourcc(*"mp4v"),
+            args.fps,
+            (args.frame_size, args.frame_size),
+        )
+        assert writer.isOpened(), "cv2 VideoWriter failed to open"
+        for f in range(t):
+            writer.write(clip[f])
+        writer.release()
+        write_wav(
+            stem + ".wav",
+            render_audio(
+                label, args.num_classes, args.duration,
+                args.aud_sample_rate, phase, rng,
+            ),
+            args.aud_sample_rate,
+        )
+        if (i + 1) % 50 == 0:
+            print(f"{i + 1}/{args.num_videos}", flush=True)
+    print(f"wrote {args.num_videos} clips under {args.output}/train")
+
+
+if __name__ == "__main__":
+    main()

@@ -29,9 +29,11 @@ def parse_arguments() -> argparse.ArgumentParser:
     parser.add_argument("--ds_name", type=str, default="kinetics",
                         choices=["kinetics", "vggsound", "kinetics_sound",
                                  "ave", "ucf101", "hmdb51", "synthetic",
-                                 "packed"],
+                                 "packed", "folder"],
                         help="name of dataset ('packed': --root_dir points "
-                             "at a shard written by scripts/pack_dataset.py)")
+                             "at a shard written by scripts/pack_dataset.py; "
+                             "'folder': generic {root}/{mode}/{class}/*.mp4 "
+                             "tree, e.g. scripts/make_real_media.py output)")
     parser.add_argument("--root_dir", type=str, default="/path/to/dataset",
                         help="root dir of dataset")
     parser.add_argument("--data_path", type=str, default="datasets/data",

@@ -225,6 +225,9 @@ class AVideoDataset:
         )
         if not os.path.exists(path_to_file):
             files = sorted(glob.glob(os.path.join(self.data_prefix, "*", "*")))
+            # demuxed-audio sidecars (<stem>.wav next to the container,
+            # decoder._sidecar_wav) are not dataset entries of their own
+            files = [p for p in files if not p.lower().endswith(".wav")]
             with open(path_to_file, "w") as f:
                 for item in files:
                     if self.ds_name == "kinetics_sound":

@@ -419,15 +419,69 @@ def decode_audio_pyav(
     return np.concatenate(chunks).astype(np.int16)
 
 
+def decode_audio_wav(path: str, sample_rate: int) -> Optional[np.ndarray]:
+    """Mono s16 PCM from a RIFF/WAV file via the stdlib ``wave`` module —
+    the zero-dependency tertiary audio backend (role analog of the cv2
+    video fallback; the reference has no equivalent because it hard-depends
+    on ffmpeg, audio_utils.py:89-98). Handles 8/16/32-bit PCM, downmixes
+    channels by mean, and linearly resamples to ``sample_rate`` when the
+    file rate differs (adequate for a fallback path; rate-matched corpora
+    skip it entirely)."""
+    import wave
+
+    try:
+        with wave.open(path, "rb") as w:
+            nch, sw, fr = w.getnchannels(), w.getsampwidth(), w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except Exception:
+        return None
+    if sw == 2:
+        pcm = np.frombuffer(raw, np.int16).astype(np.float32)
+    elif sw == 4:
+        pcm = np.frombuffer(raw, np.int32).astype(np.float32) / 65536.0
+    elif sw == 1:  # WAV 8-bit is unsigned
+        pcm = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) * 256.0
+    else:
+        return None
+    if nch > 1:
+        pcm = pcm[: len(pcm) - len(pcm) % nch].reshape(-1, nch).mean(axis=1)
+    if fr != sample_rate and len(pcm) > 1:
+        n_out = int(round(len(pcm) * sample_rate / fr))
+        pcm = np.interp(
+            np.arange(n_out) * (fr / sample_rate),
+            np.arange(len(pcm), dtype=np.float64),
+            pcm,
+        ).astype(np.float32)
+    return np.clip(pcm, -32768, 32767).astype(np.int16)
+
+
+def _sidecar_wav(path: str) -> Optional[str]:
+    """``<video stem>.wav`` next to the container, if present — demuxed
+    audio sidecars let ffmpeg-less hosts run the full real-media chain
+    (cv2 decodes the video track, stdlib ``wave`` the sidecar)."""
+    import os
+
+    if path.lower().endswith(".wav"):
+        return path
+    cand = os.path.splitext(path)[0] + ".wav"
+    return cand if os.path.exists(cand) else None
+
+
 def decode_audio(path: str, sample_rate: int) -> Optional[np.ndarray]:
     """Audio backend dispatcher: ffmpeg binary (the reference's own path,
-    audio_utils.py:89-98) first, PyAV otherwise."""
+    audio_utils.py:89-98) first, PyAV next, then a stdlib-``wave`` read of
+    the file itself (.wav input) or a ``<stem>.wav`` sidecar."""
     if have_ffmpeg():
         wav = decode_audio_ffmpeg(path, sample_rate)
         if wav is not None:
             return wav
     if have_pyav():
-        return decode_audio_pyav(path, sample_rate)
+        wav = decode_audio_pyav(path, sample_rate)
+        if wav is not None:
+            return wav
+    sidecar = _sidecar_wav(path)
+    if sidecar is not None:
+        return decode_audio_wav(sidecar, sample_rate)
     return None
 
 

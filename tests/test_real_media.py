@@ -174,3 +174,129 @@ def test_ucf_style_folds_and_test_views(media_root, tmp_path):
     assert ex0["vid_idx"] == ex5["vid_idx"]  # same video, different view
     ex6 = test_ds.get_example(6, rng)
     assert ex6["vid_idx"] != ex0["vid_idx"]
+
+
+# ---------------------------------------------------------------------------
+# stdlib-WAV audio backend + demuxed sidecars (decoder.decode_audio_wav):
+# the tertiary audio fallback for hosts with neither ffmpeg nor PyAV
+# (reference hard-depends on ffmpeg, audio_utils.py:89-98 — sidecars are a
+# documented capability extension, docs/DEVIATIONS.md)
+# ---------------------------------------------------------------------------
+
+SR = 24000
+
+
+def _write_wav(path, pcm, sr=SR, nch=1, sampwidth=2):
+    import wave
+
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
+def _tone(freq, sr=SR, dur=1.0, amp=8000.0):
+    tt = np.arange(int(dur * sr)) / sr
+    return (amp * np.sin(2 * np.pi * freq * tt)).astype(np.int16)
+
+
+def test_wav_backend_bit_roundtrip(tmp_path):
+    pcm = _tone(440.0)
+    p = tmp_path / "tone.wav"
+    _write_wav(p, pcm)
+    got = dec.decode_audio_wav(str(p), SR)
+    assert got is not None and got.dtype == np.int16
+    np.testing.assert_array_equal(got, pcm)
+
+
+def test_wav_backend_stereo_downmix(tmp_path):
+    pcm = _tone(440.0)
+    stereo = np.stack([pcm, pcm], axis=1).reshape(-1)
+    p = tmp_path / "st.wav"
+    _write_wav(p, stereo, nch=2)
+    got = dec.decode_audio_wav(str(p), SR)
+    assert got.shape == pcm.shape
+    np.testing.assert_allclose(got, pcm, atol=1)
+
+
+def test_wav_backend_resamples(tmp_path):
+    # file at 48 kHz, requested at 24 kHz: length halves, dominant
+    # frequency is preserved
+    freq = 880.0
+    pcm48 = _tone(freq, sr=48000)
+    p = tmp_path / "hi.wav"
+    _write_wav(p, pcm48, sr=48000)
+    got = dec.decode_audio_wav(str(p), SR)
+    assert abs(len(got) - SR) <= 2
+    spec = np.abs(np.fft.rfft(got.astype(np.float64)))
+    peak_hz = np.argmax(spec) * SR / len(got)
+    assert abs(peak_hz - freq) < 5.0
+
+
+def test_sidecar_dispatch(tmp_path, monkeypatch):
+    monkeypatch.setattr(dec, "have_ffmpeg", lambda: False)
+    monkeypatch.setattr(dec, "have_pyav", lambda: False)
+    pcm = _tone(220.0)
+    (tmp_path / "vid0.mp4").write_bytes(b"container-not-read")
+    _write_wav(tmp_path / "vid0.wav", pcm)
+    got = dec.decode_audio(str(tmp_path / "vid0.mp4"), SR)
+    np.testing.assert_array_equal(got, pcm)
+    # direct .wav input also decodes; missing sidecar stays None
+    got2 = dec.decode_audio(str(tmp_path / "vid0.wav"), SR)
+    np.testing.assert_array_equal(got2, pcm)
+    (tmp_path / "vid1.mp4").write_bytes(b"x")
+    assert dec.decode_audio(str(tmp_path / "vid1.mp4"), SR) is None
+
+
+def test_dataset_real_media_with_sidecar_audio(media_root, tmp_path):
+    import shutil
+
+    root = tmp_path / "root"
+    shutil.copytree(media_root, root)
+    for cls in ("classA", "classB"):
+        for vi in range(2):
+            stem = root / "train" / cls / f"vid{vi}"
+            _write_wav(stem.with_suffix(".wav"),
+                       _tone(330.0, dur=N_FRAMES / FPS))
+    ds = _make_dataset(root, tmp_path / "meta", decode_audio=True,
+                       num_sec=1, aud_sample_rate=SR, aud_spec_type=1)
+    # sidecar .wav files are NOT dataset entries of their own
+    assert len(ds) == 4
+    ex = ds.get_example(0, np.random.default_rng(11))
+    assert ex["video"].shape == (8, 32, 32, 3)
+    from selavi_tpu.data.audio import spec_num_frames
+
+    assert ex["audio"].shape == (40, spec_num_frames(1, SR))
+    assert np.isfinite(ex["audio"]).all()
+
+
+def test_make_real_media_generator(tmp_path, monkeypatch):
+    """The corpus generator (scripts/make_real_media.py) writes decodable
+    mp4+wav pairs that run through the dataset with audio on."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    try:
+        import make_real_media
+    finally:
+        sys.path.pop(0)
+    out = tmp_path / "corpus"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["make_real_media.py", "--output", str(out), "--num_videos", "6",
+         "--num_classes", "3", "--frame_size", "64", "--duration", "1.5",
+         "--aud_sample_rate", str(SR), "--seed", "1"],
+    )
+    make_real_media.main()
+    ds = _make_dataset(out, tmp_path / "meta", ds_name="genmedia",
+                       decode_audio=True, num_sec=1,
+                       aud_sample_rate=SR, aud_spec_type=1)
+    assert len(ds) == 6
+    labs = set()
+    for i in range(6):
+        ex = ds.get_example(i, np.random.default_rng(i))
+        assert ex["video"].shape == (8, 32, 32, 3)
+        assert np.isfinite(ex["audio"]).all()
+        labs.add(ex["label"])
+    assert len(labs) >= 2
