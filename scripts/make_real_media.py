@@ -103,14 +103,35 @@ def main() -> None:
                         "+ headroom for temporal jitter)")
     p.add_argument("--aud_sample_rate", type=int, default=24000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mode", type=str, default="train",
+                   help="folder layout: {output}/{mode}/{class}/*.mp4 "
+                        "(--ds_name folder reads train/ and test/ trees)")
+    p.add_argument("--layout", type=str, default="folder",
+                   choices=["folder", "ucf"],
+                   help="ucf: {output}/videos/{class}/*.mp4 + official-"
+                        "format trainlist01/testlist01 files in "
+                        "{output}/ucfTrainTestlist — the default layout "
+                        "finetune_video.py --dataset ucf101 --root_dir "
+                        "{output}/videos expects")
+    p.add_argument("--test_fraction", type=float, default=0.3,
+                   help="ucf layout: share of videos put in testlist01")
     args = p.parse_args()
 
     base = np.random.default_rng(args.seed)
     labels = base.integers(0, args.num_classes, size=args.num_videos)
     t = int(round(args.duration * args.fps))
+    train_lines, test_lines = [], []
     for i, label in enumerate(labels):
         label = int(label)
-        d = os.path.join(args.output, "train", f"class{label:03d}")
+        cls = f"class{label:03d}"
+        if args.layout == "ucf":
+            d = os.path.join(args.output, "videos", cls)
+            if base.uniform() < args.test_fraction:
+                test_lines.append(f"{cls}/vid{i:05d}.mp4")
+            else:
+                train_lines.append(f"{cls}/vid{i:05d}.mp4 {label + 1}")
+        else:
+            d = os.path.join(args.output, args.mode, cls)
         os.makedirs(d, exist_ok=True)
         stem = os.path.join(d, f"vid{i:05d}")
         rng = np.random.default_rng(args.seed * 1_000_003 + i)
@@ -138,7 +159,22 @@ def main() -> None:
         )
         if (i + 1) % 50 == 0:
             print(f"{i + 1}/{args.num_videos}", flush=True)
-    print(f"wrote {args.num_videos} clips under {args.output}/train")
+    if args.layout == "ucf":
+        ann = os.path.join(args.output, "ucfTrainTestlist")
+        os.makedirs(ann, exist_ok=True)
+        with open(os.path.join(ann, "trainlist01.txt"), "w") as f:
+            f.write("\n".join(train_lines) + "\n")
+        with open(os.path.join(ann, "testlist01.txt"), "w") as f:
+            f.write("\n".join(test_lines) + "\n")
+        print(
+            f"wrote {len(train_lines)} train / {len(test_lines)} test "
+            f"clips under {args.output}/videos (+ ucfTrainTestlist/)"
+        )
+    else:
+        print(
+            f"wrote {args.num_videos} clips under "
+            f"{args.output}/{args.mode}"
+        )
 
 
 if __name__ == "__main__":

@@ -300,3 +300,48 @@ def test_make_real_media_generator(tmp_path, monkeypatch):
         assert np.isfinite(ex["audio"]).all()
         labs.add(ex["label"])
     assert len(labs) >= 2
+
+
+def test_make_real_media_ucf_layout(tmp_path, monkeypatch):
+    """ucf layout: {out}/videos/{class}/*.mp4 + official-format fold files
+    in {out}/ucfTrainTestlist, loadable as --dataset ucf101 with the
+    DEFAULT annotation path (finetune_video.py chain)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    try:
+        import make_real_media
+    finally:
+        sys.path.pop(0)
+    out = tmp_path / "ucf"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["make_real_media.py", "--output", str(out), "--num_videos", "10",
+         "--num_classes", "2", "--frame_size", "64", "--duration", "1.5",
+         "--layout", "ucf", "--test_fraction", "0.4", "--seed", "3"],
+    )
+    make_real_media.main()
+    train_lines = (
+        out / "ucfTrainTestlist" / "trainlist01.txt"
+    ).read_text().strip().splitlines()
+    test_lines = (
+        out / "ucfTrainTestlist" / "testlist01.txt"
+    ).read_text().strip().splitlines()
+    assert len(train_lines) + len(test_lines) == 10
+    assert all(" " in ln for ln in train_lines)  # "path label" format
+
+    train_ds = AVideoDataset(
+        ds_name="ucf101", root_dir=str(out / "videos"), mode="train",
+        fold=1, num_frames=4, train_crop_size=32, decode_audio=False,
+        path_to_data_dir=str(tmp_path / "meta"),
+    )
+    test_ds = AVideoDataset(
+        ds_name="ucf101", root_dir=str(out / "videos"), mode="test",
+        fold=1, num_frames=4, test_crop_size=32, num_spatial_crops=2,
+        num_ensemble_views=2, decode_audio=False,
+        path_to_data_dir=str(tmp_path / "meta"),
+    )
+    assert len(train_ds) == len(train_lines)
+    assert len(test_ds) == len(test_lines) * 4
+    ex = train_ds.get_example(0, np.random.default_rng(0))
+    assert ex["video"].shape == (4, 32, 32, 3)
