@@ -33,6 +33,10 @@ def main(argv=None):
 
     init_distributed_mode(args)
     init_signal_handler()
+    if getattr(args, "max_host_mem_gb", 0):
+        from selavi_tpu.parallel.dist import init_memory_watchdog
+
+        init_memory_watchdog(args.max_host_mem_gb)
     fix_random_seeds(args.seed)
     logger, training_stats = initialize_exp(args, "epoch", "loss")
 

@@ -205,6 +205,12 @@ def parse_arguments() -> argparse.ArgumentParser:
                              "echoing, arXiv:1907.05550) - raises "
                              "throughput ~xN on input-bound hosts; 1 = "
                              "reference semantics")
+    parser.add_argument("--max_host_mem_gb", type=float, default=0,
+                        help="host-RSS watchdog: checkpoint and exit "
+                             "cleanly (preemption path) when the process "
+                             "RSS crosses this many GB, so an outer "
+                             "requeue loop resumes instead of an OOM "
+                             "kill; 0 disables")
     parser.add_argument("--sk_cache_batches", type="bool", default="False",
                         help="cache decoded batches ON DEVICE across the "
                              "ind_groups aggregation passes of each SK "

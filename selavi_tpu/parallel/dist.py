@@ -64,6 +64,53 @@ def signal_received() -> bool:
     return _SIGNAL_FLAG["received"]
 
 
+_MEM_WATCHDOG = {"limit_bytes": 0, "page": 0}
+
+
+def init_memory_watchdog(limit_gb: float):
+    """Arm the host-RSS watchdog: once :func:`memory_pressure` sees RSS
+    above ``limit_gb``, the train loop checkpoints and exits cleanly via
+    the same path as a SIGUSR1 preemption, so an outer requeue loop
+    resumes at the interrupted epoch instead of losing work to an OOM
+    kill. The reference has only the signal path (utils.py:74-109); this
+    extension exists because long runs on some hosts grow RSS from causes
+    outside the trainer's control (e.g. the dev relay client retains
+    every H2D buffer — measured 1:1 with transferred bytes)."""
+    import resource
+
+    _MEM_WATCHDOG["limit_bytes"] = int(limit_gb * 1e9)
+    _MEM_WATCHDOG["page"] = resource.getpagesize()
+    if limit_gb > 0:
+        logger.info("host-RSS watchdog armed at %.1f GB", limit_gb)
+
+
+def host_rss_bytes() -> int:
+    """Current RSS from /proc/self/statm (no psutil dependency; ~µs)."""
+    page = _MEM_WATCHDOG["page"] or 4096
+    try:
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * page
+    except OSError:  # non-Linux: watchdog inert
+        return 0
+
+
+def memory_pressure() -> bool:
+    limit = _MEM_WATCHDOG["limit_bytes"]
+    if not limit:
+        return False
+    rss = host_rss_bytes()
+    if rss >= limit:
+        logger.warning(
+            "host RSS %.1f GB >= limit %.1f GB; will checkpoint and exit "
+            "for requeue",
+            rss / 1e9,
+            limit / 1e9,
+        )
+        _SIGNAL_FLAG["received"] = True  # reuse the preemption exit path
+        return True
+    return False
+
+
 def sync_hosts(name: str = "sync"):
     """Host-phase barrier (the reference's dist.barrier analog). SPMD device
     code needs no barriers; this is only for host-side phase boundaries."""

@@ -23,7 +23,7 @@ from selavi_tpu.data.loader import (
     device_prefetch,
 )
 from selavi_tpu.models import load_model
-from selavi_tpu.parallel.dist import signal_received
+from selavi_tpu.parallel.dist import memory_pressure, signal_received
 from selavi_tpu.parallel.mesh import (
     data_sharding,
     make_mesh,
@@ -384,7 +384,7 @@ class Trainer:
                     self.writer.add_scalar(
                         "data_time/iter", data_time.avg, iteration
                     )
-            if signal_received():
+            if signal_received() or memory_pressure():
                 # mid-epoch: stamp the CURRENT epoch as the resume point
                 # so the interrupted epoch re-runs in full (the reference
                 # requeues and restarts from the last completed epoch);

@@ -58,3 +58,30 @@ def test_preemption_checkpoints_and_exits(tmp_path):
         assert start == 0
     finally:
         init_signal_handler()  # clear the flag for later tests
+
+
+def test_memory_watchdog_trips_preemption_path():
+    """Host-RSS watchdog (dist.init_memory_watchdog): above the limit,
+    memory_pressure() reports True AND arms the same flag the SIGUSR1
+    preemption path polls, so the train loop checkpoints and exits
+    cleanly instead of being OOM-killed (extension beyond reference
+    utils.py:74-109 — see docstring for why)."""
+    from selavi_tpu.parallel import dist
+
+    try:
+        dist.init_memory_watchdog(0)  # disabled
+        assert dist.memory_pressure() is False
+
+        rss = dist.host_rss_bytes()
+        assert rss > 10_000_000  # this test process is well above 10 MB
+
+        dist.init_memory_watchdog((rss + 10e9) / 1e9)  # above current
+        assert dist.memory_pressure() is False
+        assert dist.signal_received() is False
+
+        dist.init_memory_watchdog(0.001)  # 1 MB: below current RSS
+        assert dist.memory_pressure() is True
+        assert dist.signal_received() is True  # preemption path armed
+    finally:
+        dist.init_memory_watchdog(0)
+        init_signal_handler()  # clear the flag for later tests
