@@ -172,8 +172,39 @@ def main():
                   flush=True)
             return None
 
+    def bench_encode(b, steps=8, warmup=2):
+        """SK-aggregation encode rate (eval-mode fwd, augmented) — the
+        sk_phase bench showed this is 99.8% of the self-labeling phase;
+        probes whether a larger aggregation batch beats the bs64 recipe."""
+        from selavi_tpu.train.step import make_encode_fn
+
+        video = jnp.asarray(
+            np.random.randint(0, 255, (b, T, C, C, 3), np.uint8)
+        )
+        audio = jnp.asarray(
+            np.random.randn(b, 257, 99, 1).astype(np.float32)
+        )
+        encode = make_encode_fn(model, compute_dtype=dtype, augment=True)
+        st = fresh_state()
+        try:
+            for _ in range(warmup):
+                fv, fa = encode(st.params, st.batch_stats, video, audio, rng)
+            float(jnp.sum(fv))
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                fv, fa = encode(st.params, st.batch_stats, video, audio, rng)
+            float(jnp.sum(fv))
+            return steps * b / (time.perf_counter() - t0)
+        except Exception as e:
+            print(f"   failed: {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            return None
+
     results = {}
     runs = [
+        ("encode_bs64", lambda: bench_encode(64)),
+        ("encode_bs128", lambda: bench_encode(128)),
+        ("encode_bs256", lambda: bench_encode(256)),
         ("mono_bs24", lambda: bench_mono(24)),
         ("mono_bs32", lambda: bench_mono(32)),
         ("mono_bs48", lambda: bench_mono(48)),
