@@ -11,6 +11,14 @@ if "--xla_force_host_platform_device_count" not in os.environ.get(
     "XLA_FLAGS", ""
 ):
     os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+# Few-core hosts: XLA:CPU in-process collectives SIGABRT if all virtual
+# device threads can't reach a rendezvous within 40 s (compile/dispatch
+# contention on one core). Liveness knob only.
+if "collective_call_terminate" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    )
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
