@@ -145,6 +145,38 @@ def spatial_sampling(
     return frames
 
 
+def lighting_jitter(
+    frames: np.ndarray,
+    alphastd: float,
+    eigval,
+    eigvec,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """AlexNet-style PCA lighting jitter.
+
+    Behavior parity with /root/reference/datasets/video_transforms.py:366-393
+    (defined there but unused by the reference's training pipeline — provided
+    here for the same availability). One alpha vector ``~N(0, alphastd)`` is
+    drawn per call; the per-channel shift is ``sum_j eigvec[c, j] * alpha[j]
+    * eigval[j]`` and — matching the reference exactly — channel ``c``
+    receives the shift computed for channel ``2 - c`` (its loop adds
+    ``rgb[2 - idx]`` to channel ``idx``).
+
+    Frames are ``[T, H, W, C]`` float; returns the same dtype/shape.
+    ``alphastd == 0`` is the identity (reference :379-380).
+    """
+    if alphastd == 0:
+        return frames
+    alpha = rng.normal(0.0, alphastd, size=(1, 3))
+    eig_vec = np.asarray(eigvec, dtype=np.float64)
+    eig_val = np.reshape(np.asarray(eigval, dtype=np.float64), (1, 3))
+    shift = np.sum(eig_vec * alpha * eig_val, axis=1)
+    out = frames.astype(np.float32, copy=True)
+    for c in range(frames.shape[-1]):
+        out[..., c] += shift[2 - c]
+    return out.astype(frames.dtype) if frames.dtype != np.float32 else out
+
+
 def train_scale_range(crop_size: int) -> Tuple[int, int]:
     """Scale-jitter range by crop size (reference AVideoDataset.py:213-217:
     (128, 160) for crops in {112, 128}, (256, 320) for every other crop

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from selavi_tpu.config import parse_arguments
@@ -77,3 +78,82 @@ def test_warmup_schedule_in_optimizer_steps():
         cur = optax.apply_updates(cur, updates)
     # epochs 0,0,1,1,2,2 -> factors 1, 1, 2.5, 2.5, 4, 4
     np.testing.assert_allclose(lrs, [1, 1, 2.5, 2.5, 4, 4], rtol=1e-6)
+
+
+# --- generic GradualWarmup chaining (reference warmup_scheduler.py:25-80) ---
+
+
+def test_gradual_warmup_chain_multistep():
+    from selavi_tpu.train.optim import GradualWarmupChain, multistep_factor
+
+    # used-config cross-check: multiplier=8, warmup 2, MultiStep(4,8)@0.1
+    sched = GradualWarmupChain(
+        base_lr=0.1, multiplier=8.0, total_epoch=2,
+        after=multistep_factor([4, 8], 0.1),
+    )
+    assert np.isclose(sched.lr(0), 0.1)
+    assert np.isclose(sched.lr(1), 0.1 * (7 * 0.5 + 1))
+    assert np.isclose(sched.lr(2), 0.8)
+    assert np.isclose(sched.lr(3), 0.8)          # shifted epoch 1 < 4
+    assert np.isclose(sched.lr(6), 0.8 * 0.1)    # shifted 4 >= 4
+    assert np.isclose(sched.lr(10), 0.8 * 0.01)  # shifted 8 >= 8
+    # multiplier == 1 ramps from 0 (reference :42-43)
+    ramp = GradualWarmupChain(base_lr=0.2, multiplier=1.0, total_epoch=4)
+    assert ramp.lr(0) == 0.0
+    assert np.isclose(ramp.lr(2), 0.1)
+    assert np.isclose(ramp.lr(7), 0.2)  # no after: holds target
+    with pytest.raises(ValueError):
+        GradualWarmupChain(base_lr=0.1, multiplier=0.5)
+
+
+@pytest.mark.parametrize(
+    "mode,thr_mode,patience,cooldown",
+    [("min", "rel", 2, 0), ("min", "abs", 1, 2), ("max", "rel", 3, 1)],
+)
+def test_reduce_on_plateau_matches_torch(mode, thr_mode, patience, cooldown):
+    import torch
+
+    from selavi_tpu.train.optim import ReduceOnPlateau
+
+    base = 0.5
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base)
+    tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode=mode, factor=0.5, patience=patience,
+        threshold=1e-3, threshold_mode=thr_mode, cooldown=cooldown,
+    )
+    ours = ReduceOnPlateau(
+        mode=mode, gamma=0.5, patience=patience,
+        threshold=1e-3, threshold_mode=thr_mode, cooldown=cooldown,
+    )
+    state = ours.init()
+    rng = np.random.default_rng(0)
+    metric = 1.0
+    for _ in range(40):
+        metric += rng.normal(0, 0.05) - 0.002  # noisy, slowly improving
+        tsched.step(metric)
+        state = ours.step(state, metric)
+        torch_lr = opt.param_groups[0]["lr"]
+        assert np.isclose(base * state.factor, torch_lr), (
+            state, torch_lr)
+
+
+def test_gradual_warmup_plateau_path():
+    from selavi_tpu.train.optim import GradualWarmupPlateau, ReduceOnPlateau
+
+    sched = GradualWarmupPlateau(
+        base_lr=0.1, multiplier=2.0, total_epoch=3,
+        plateau=ReduceOnPlateau(gamma=0.1, patience=1),
+    )
+    state = sched.init()
+    lrs = []
+    for epoch, metric in enumerate([5.0, 4.0, 3.0, 3.0, 3.0, 3.0, 3.0]):
+        state, lr = sched.step(state, metric, epoch)
+        lrs.append(lr)
+    # epoch 0 treated as 1 (reference :50): same LR as epoch 1
+    assert np.isclose(lrs[0], lrs[1])
+    # warmup top at total_epoch: base * multiplier
+    assert np.isclose(lrs[3 - 1], 0.1 * (1 * 2 / 3 + 1))
+    # metrics 3.0 repeat: with patience=1, the 2nd consecutive bad epoch
+    # after the plateau controller engages triggers a 0.1x reduction
+    assert np.isclose(lrs[-1], 0.2 * 0.1)

@@ -311,3 +311,27 @@ def test_loader_index_math_fuzz():
         assert len(set(counts)) == 1, (n, world, bs, drop_last, counts)
         if not drop_last and bs == 1:
             assert covered == set(range(n)), (n, world)
+
+
+def test_lighting_jitter_reference_semantics():
+    """PCA lighting jitter parity (reference video_transforms.py:366-393):
+    per-channel shift sum_j eigvec[c,j]*alpha[j]*eigval[j], applied to
+    channel c from the table row 2-c; alphastd=0 is the identity."""
+    from selavi_tpu.data.transforms import lighting_jitter
+
+    frames = np.random.default_rng(3).random((2, 4, 4, 3)).astype(np.float32)
+    assert lighting_jitter(frames, 0.0, [1, 1, 1], np.eye(3),
+                           np.random.default_rng(0)) is frames
+
+    eigval = [0.2175, 0.0188, 0.0045]
+    eigvec = [[-0.5675, 0.7192, 0.4009],
+              [-0.5808, -0.0045, -0.8140],
+              [-0.5836, -0.6948, 0.4203]]
+    out = lighting_jitter(frames, 0.1, eigval, eigvec,
+                          np.random.default_rng(7))
+    alpha = np.random.default_rng(7).normal(0.0, 0.1, size=(1, 3))
+    rgb = (np.asarray(eigvec) * alpha * np.asarray(eigval)[None, :]).sum(1)
+    for c in range(3):
+        np.testing.assert_allclose(
+            out[..., c], frames[..., c] + rgb[2 - c], rtol=1e-6)
+    assert out.dtype == np.float32
