@@ -228,7 +228,9 @@ def _bench_sk_phase(args):
         midplanes_mode="aligned" if args.aligned_midplanes else "parity",
     )
     rng = jax.random.PRNGKey(0)
-    bs = 64
+    # --sk_agg_batch recipe default: the fwd-only encode saturates later
+    # than the train step (128 measured +16% over 64; step_shaping.py)
+    bs = 128
     video = jnp.asarray(np.random.randint(
         0, 255, (bs, args.num_frames, args.crop, args.crop, 3), np.uint8
     ))

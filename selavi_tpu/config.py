@@ -211,6 +211,13 @@ def parse_arguments() -> argparse.ArgumentParser:
                              "RSS crosses this many GB, so an outer "
                              "requeue loop resumes instead of an OOM "
                              "kill; 0 disables")
+    parser.add_argument("--sk_agg_batch", type=int, default=128,
+                        help="per-device batch for the SK feature-"
+                             "aggregation forward (eval-mode encode, "
+                             "99.8%% of the self-labeling phase). The "
+                             "fwd-only encode saturates later than the "
+                             "train step: 128 measured +16%% over 64 on "
+                             "the v5e (experiments/step_shaping.py)")
     parser.add_argument("--sk_cache_batches", type="bool", default="False",
                         help="cache decoded batches ON DEVICE across the "
                              "ind_groups aggregation passes of each SK "

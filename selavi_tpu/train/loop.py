@@ -262,7 +262,9 @@ class Trainer:
         eval_loader = DataLoader(
             self.dataset,
             batch_size=min(
-                64 * self.n_devices // n_proc, max(len(self.dataset), 1)
+                getattr(self.args, "sk_agg_batch", 128)
+                * self.n_devices // n_proc,
+                max(len(self.dataset), 1),
             ),
             shuffle=False,
             drop_last=False,
