@@ -1,0 +1,86 @@
+#!/bin/bash
+# sk_bf16 quality-campaign requeue loop (VERDICT r2 #1, bf16 leg).
+#
+# Re-runs the 16384-sample / 64-class / K=256 / 10-head live-synthetic
+# campaign with --sk_bf16 true, mirroring the fp32 flagship campaign row
+# in BASELINE.md. Two env failure modes are handled (CLAUDE.md):
+#   - relay client host-memory leak -> --max_host_mem_gb checkpoints and
+#     exits cleanly; this loop requeues with --resume true.
+#   - spontaneous relay wedge (process stuck in a native wait) -> the
+#     watchdog SIGKILLs the run when the log goes stale >12 min, then the
+#     loop requeues from the last per-epoch checkpoint.
+#
+# Usage: bash scripts/run_skbf16_campaign.sh <dump_path> <log_path> [deadline_epoch_s]
+
+set -u
+DUMP=${1:?dump path}
+LOG=${2:?log path}
+DEADLINE=${3:-0}   # unix seconds; 0 = no deadline
+mkdir -p "$DUMP"
+
+run_once() {
+  env PYTHONPATH=/root/repo:/root/.axon_site python /root/repo/main.py \
+    --ds_name synthetic --num_data_samples 16384 --mlp_dim 256 \
+    --headcount 10 --ind_groups 2 --match true --distribution gauss \
+    --sk_bf16 true --compute_dtype bfloat16 --tpu_aligned_midplanes true \
+    --batch_size 32 --num_frames 8 --train_crop_size 64 --aud_spec_type 1 \
+    --epochs 30 --nopts 27 --base_lr 0.01 --wd 0.00001 \
+    --use_warmup_scheduler true --warmup_epochs 2 \
+    --workers 8 --prefetch 4 --seed 31 \
+    --max_host_mem_gb 95 --resume true \
+    --dump_path "$DUMP" >> "$LOG" 2>&1 &
+  PID=$!
+  echo "$PID" > /tmp/skbf16.pid
+  # watchdog: kill if log mtime stale > 12 min (relay wedge) or deadline hit
+  while kill -0 "$PID" 2>/dev/null; do
+    sleep 60
+    now=$(date +%s)
+    if [ "$DEADLINE" -gt 0 ] && [ "$now" -gt "$DEADLINE" ]; then
+      echo "[requeue] deadline reached; killing $PID" >> "$LOG"
+      kill -9 "$PID" 2>/dev/null
+      wait "$PID" 2>/dev/null
+      return 99
+    fi
+    mt=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
+    if [ $((now - mt)) -gt 720 ]; then
+      echo "[requeue] log stale $((now - mt))s; SIGKILL wedge $PID" >> "$LOG"
+      kill -9 "$PID" 2>/dev/null
+      wait "$PID" 2>/dev/null
+      sleep 60   # give the relay time to free the chip
+      return 1
+    fi
+  done
+  wait "$PID"
+  return $?
+}
+
+attempt=0
+while [ $attempt -lt 12 ]; do
+  attempt=$((attempt + 1))
+  echo "[requeue] attempt $attempt $(date -u +%FT%TZ)" >> "$LOG"
+  run_once
+  rc=$?
+  echo "[requeue] attempt $attempt exited rc=$rc" >> "$LOG"
+  [ $rc -eq 99 ] && exit 99           # deadline
+  # completed? the checkpoint's epoch field is the resume point; when it
+  # reaches --epochs the run is done (main.py exits 0 both on completion
+  # and on the clean mem-watchdog preemption exit, so rc alone is moot)
+  done=$(PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python - "$DUMP" <<'EOF'
+import sys, os
+from flax import serialization
+p = os.path.join(sys.argv[1], "checkpoint.msgpack")
+try:
+    with open(p, "rb") as f:
+        blob = serialization.msgpack_restore(f.read())
+    print(1 if int(blob.get("epoch", -1)) >= 30 else 0)
+except Exception:
+    print(0)
+EOF
+)
+  if [ "$done" = "1" ]; then
+    echo "[requeue] campaign complete" >> "$LOG"
+    exit 0
+  fi
+  sleep 30
+done
+exit 2
