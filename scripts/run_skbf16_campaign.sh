@@ -31,7 +31,9 @@ run_once() {
     --dump_path "$DUMP" >> "$LOG" 2>&1 &
   PID=$!
   echo "$PID" > /tmp/skbf16.pid
-  # watchdog: kill if log mtime stale > 12 min (relay wedge) or deadline hit
+  # watchdog: kill if the process stops burning CPU for > 12 min (relay
+  # wedge) or the deadline passes
+  stuck=0
   while kill -0 "$PID" 2>/dev/null; do
     sleep 60
     now=$(date +%s)
@@ -41,9 +43,18 @@ run_once() {
       wait "$PID" 2>/dev/null
       return 99
     fi
-    mt=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
-    if [ $((now - mt)) -gt 720 ]; then
-      echo "[requeue] log stale $((now - mt))s; SIGKILL wedge $PID" >> "$LOG"
+    # wedge detection by CPU time, not log mtime: SK aggregation phases
+    # are legitimately silent >12 min on contended 1-core hosts, while a
+    # relay wedge burns ~zero CPU in a native wait
+    cpu=$(awk '{print $14+$15}' /proc/$PID/stat 2>/dev/null || echo 0)
+    if [ "$cpu" -le "${prev_cpu:-0}" ]; then
+      stuck=$((stuck + 60))
+    else
+      stuck=0
+    fi
+    prev_cpu=$cpu
+    if [ "$stuck" -gt 720 ]; then
+      echo "[requeue] no CPU progress for ${stuck}s; SIGKILL wedge $PID" >> "$LOG"
       kill -9 "$PID" 2>/dev/null
       wait "$PID" 2>/dev/null
       sleep 60   # give the relay time to free the chip
