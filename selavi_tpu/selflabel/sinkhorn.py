@@ -23,6 +23,20 @@ TPU-native redesign (not a port):
 * a ``lax.while_loop`` with the same stopping rule (error check every 10
   iterations, tol 0.1, cap 2000) keeps convergence behavior aligned with the
   reference.
+* under bf16 M storage (``m_bf16=True``) an additional **plateau exit**
+  fires: once head logits sharpen, bf16 quantization of M puts a floor on
+  the marginal error far above the reference tolerance (measured r3: err
+  1.2-17.5 at the 2000-iter cap with N=16384, labels stable throughout),
+  so the reference rule alone can never stop. The solver therefore exits
+  when BOTH hold at an error check: (a) the error failed to improve by
+  >=1% across two consecutive checks (plateau), and (b) the error is below
+  the bf16 marginal-resolution bound ``N * 2^-8`` (the sum over N rows of
+  per-row ratio jitter at bf16's ~2^-8 relative resolution — above it the
+  solve is still genuinely converging and must continue; below it the
+  scalings are within quantization noise of the fixed point and further
+  iterations cannot move the argmax). fp32 solves keep the pure reference
+  rule (the plateau exit is gated on ``m_bf16``), preserving bit-level
+  stopping parity.
 """
 
 from __future__ import annotations
@@ -48,7 +62,8 @@ def _logsumexp(a, axis):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "max_iters", "check_every", "use_pallas", "interpret", "m_bf16"
+        "max_iters", "check_every", "use_pallas", "interpret", "m_bf16",
+        "plateau_exit",
     ),
 )
 def sinkhorn_knopp(
@@ -61,6 +76,7 @@ def sinkhorn_knopp(
     use_pallas: bool = False,
     interpret: bool = False,
     m_bf16: bool = False,
+    plateau_exit: Optional[bool] = None,
 ) -> SinkhornResult:
     """Run SK scaling iterations in the log domain.
 
@@ -92,8 +108,28 @@ def sinkhorn_knopp(
 
     log_beta0 = jnp.full((n,), -jnp.log(jnp.float32(n)), jnp.float32)
 
+    # bf16 plateau exit (see module docstring): stop once the error has
+    # both plateaued (two consecutive checks with <1% improvement) AND
+    # fallen below the bf16 marginal-resolution bound N*2^-8. Defaults on
+    # iff M is stored bf16; `plateau_exit` overrides (tests use it to pin
+    # early-exit labels against the full capped run).
+    if plateau_exit is None:
+        plateau_exit = m_bf16
+    floor_bound = jnp.float32(n * 2.0**-8) if plateau_exit else (
+        jnp.float32(0.0)
+    )
+
     def cond(state):
-        return jnp.logical_and(state[-2] > tol, state[-1] < max_iters)
+        _, _, _, err, stuck, it = state
+        at_floor = jnp.logical_and(stuck >= 2, err <= floor_bound)
+        return jnp.logical_and(
+            jnp.logical_and(err > tol, it < max_iters),
+            jnp.logical_not(at_floor),
+        )
+
+    def _check_update(err_old, err_new, stuck):
+        improved = err_new < 0.99 * err_old
+        return err_new, jnp.where(improved, 0, stuck + 1)
 
     if use_pallas:
         # fused single-sweep iteration (selavi_tpu.ops.sinkhorn_pallas):
@@ -106,19 +142,23 @@ def sinkhorn_knopp(
         from selavi_tpu.ops.sinkhorn_pallas import fused_sk_iteration
 
         def body(state):
-            _, log_alpha, log_beta, err, it = state
+            _, log_alpha, log_beta, err, stuck, it = state
             log_alpha_next, log_beta_new, err_new = fused_sk_iteration(
                 m, log_alpha, log_beta, log_r, interpret=interpret
             )
-            err = jax.lax.cond(
-                it % check_every == 0, lambda: err_new, lambda: err
+            err, stuck = jax.lax.cond(
+                it % check_every == 0,
+                lambda: _check_update(err, err_new, stuck),
+                lambda: (err, stuck),
             )
-            return log_alpha, log_alpha_next, log_beta_new, err, it + 1
+            return (
+                log_alpha, log_alpha_next, log_beta_new, err, stuck, it + 1
+            )
 
     else:
 
         def body(state):
-            _, _, log_beta, err, it = state
+            _, _, log_beta, err, stuck, it = state
             # alpha update: log_alpha[k] = log_r[k] - LSE_n(M + log_beta)
             log_alpha = log_r - _logsumexp(m + log_beta[:, None], axis=0)
             # beta update: log_beta[n] = log_c - LSE_k(M + log_alpha)
@@ -126,20 +166,23 @@ def sinkhorn_knopp(
                 m + log_alpha[None, :], axis=1
             )
             # reference error: sum |beta_old/beta_new - 1|
-            err = jax.lax.cond(
+            err, stuck = jax.lax.cond(
                 it % check_every == 0,
-                lambda: jnp.sum(
-                    jnp.abs(jnp.expm1(log_beta - log_beta_new))
+                lambda: _check_update(
+                    err,
+                    jnp.sum(jnp.abs(jnp.expm1(log_beta - log_beta_new))),
+                    stuck,
                 ),
-                lambda: err,
+                lambda: (err, stuck),
             )
-            return log_alpha, log_alpha, log_beta_new, err, it + 1
+            return log_alpha, log_alpha, log_beta_new, err, stuck, it + 1
 
     log_alpha0 = log_r - _logsumexp(m + log_beta0[:, None], axis=0)
     state0 = (
-        log_alpha0, log_alpha0, log_beta0, jnp.float32(1e6), jnp.int32(0)
+        log_alpha0, log_alpha0, log_beta0, jnp.float32(1e6),
+        jnp.int32(0), jnp.int32(0),
     )
-    log_alpha, _, log_beta, err, iters = jax.lax.while_loop(
+    log_alpha, _, log_beta, err, _, iters = jax.lax.while_loop(
         cond, body, state0
     )
 
