@@ -1,16 +1,17 @@
 #!/bin/bash
-# sk_bf16 quality-campaign requeue loop (VERDICT r2 #1, bf16 leg).
+# Flagship-configuration quality campaign (VERDICT r3 #3): the paper's
+# SK/label shape — K=309, 10 heads, ind_groups=2, match+gauss, fp32 SK —
+# over 16384 live-synthetic samples (77 true classes via the factory's
+# mlp_dim//4 rule: the reference's ~4x over-clustering regime,
+# README.md:28 VGG-Sound 309 clusters / ~310 classes), clip shapes sized
+# for the dev relay (8x64x64; the label machinery under test is
+# shape-independent).
 #
-# Re-runs the 16384-sample / 64-class / K=256 / 10-head live-synthetic
-# campaign with --sk_bf16 true, mirroring the fp32 flagship campaign row
-# in BASELINE.md. Two env failure modes are handled (CLAUDE.md):
-#   - relay client host-memory leak -> --max_host_mem_gb checkpoints and
-#     exits cleanly; this loop requeues with --resume true.
-#   - spontaneous relay wedge (process stuck in a native wait) -> the
-#     watchdog SIGKILLs the run when the log goes stale >12 min, then the
-#     loop requeues from the last per-epoch checkpoint.
+# Same env-failure handling as run_skbf16_campaign.sh (relay host-memory
+# leak -> --max_host_mem_gb checkpoint-and-exit + requeue; relay wedge ->
+# CPU-progress watchdog SIGKILL + requeue from the per-epoch checkpoint).
 #
-# Usage: bash scripts/run_skbf16_campaign.sh <dump_path> <log_path> [deadline_epoch_s]
+# Usage: bash scripts/run_flagship_campaign.sh <dump_path> <log_path> [deadline_s]
 
 set -u
 DUMP=${1:?dump path}
@@ -20,9 +21,9 @@ mkdir -p "$DUMP"
 
 run_once() {
   env PYTHONPATH=/root/repo:/root/.axon_site python /root/repo/main.py \
-    --ds_name synthetic --num_data_samples 16384 --mlp_dim 256 \
+    --ds_name synthetic --num_data_samples 16384 --mlp_dim 309 \
     --headcount 10 --ind_groups 2 --match true --distribution gauss \
-    --sk_bf16 true --compute_dtype bfloat16 --tpu_aligned_midplanes true \
+    --compute_dtype bfloat16 --tpu_aligned_midplanes true \
     --batch_size 32 --num_frames 8 --train_crop_size 64 --aud_spec_type 1 \
     --epochs 30 --nopts 27 --base_lr 0.01 --wd 0.00001 \
     --use_warmup_scheduler true --warmup_epochs 2 \
@@ -30,9 +31,7 @@ run_once() {
     --max_host_mem_gb 95 --resume true \
     --dump_path "$DUMP" >> "$LOG" 2>&1 &
   PID=$!
-  echo "$PID" > /tmp/skbf16.pid
-  # watchdog: kill if the process stops burning CPU for > 12 min (relay
-  # wedge) or the deadline passes
+  echo "$PID" > /tmp/flagship.pid
   stuck=0
   while kill -0 "$PID" 2>/dev/null; do
     sleep 60
@@ -43,9 +42,8 @@ run_once() {
       wait "$PID" 2>/dev/null
       return 99
     fi
-    # wedge detection by CPU time, not log mtime: SK aggregation phases
-    # are legitimately silent >12 min on contended 1-core hosts, while a
-    # relay wedge burns ~zero CPU in a native wait
+    # wedge detection by CPU time, not log mtime (SK aggregation is
+    # legitimately silent for minutes on contended 1-core hosts)
     cpu=$(awk '{print $14+$15}' /proc/$PID/stat 2>/dev/null || echo 0)
     if [ "$cpu" -le "${prev_cpu:-0}" ]; then
       stuck=$((stuck + 60))
@@ -73,9 +71,6 @@ while [ $attempt -lt 12 ]; do
   rc=$?
   echo "[requeue] attempt $attempt exited rc=$rc" >> "$LOG"
   [ $rc -eq 99 ] && exit 99           # deadline
-  # completed? the checkpoint's epoch field is the resume point; when it
-  # reaches --epochs the run is done (main.py exits 0 both on completion
-  # and on the clean mem-watchdog preemption exit, so rc alone is moot)
   done=$(PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python - "$DUMP" <<'EOF'
 import sys, os, pickle
 p = os.path.join(sys.argv[1], "checkpoint.msgpack")

@@ -90,3 +90,72 @@ def test_export_vggsound_shaped_paths(tmp_path):
     assert s1["ytC"]["start"] == 5.0
     assert s1["oddname"]["start"] == 0.0  # graceful generic fallback
     assert s1["oddname"]["meta"] == "vehicle"
+
+
+def test_index_html_payload_contract(tmp_path):
+    """DOM-free render check (no browser exists in this env): every data
+    field the static page dereferences must exist in the generated
+    payload, at the level the page reads it from, and the payload file
+    must define the global the page's <script src> loads. Mirrors the
+    reference page's field usage (cluster_vis/data/clustervis.js)."""
+    import re
+
+    page = open(
+        os.path.join(os.path.dirname(__file__), "..",
+                     "cluster_vis", "index.html")
+    ).read()
+
+    # the page loads the payload as a global from data/clusters.js
+    assert re.search(r'<script\s+src="data/clusters\.js">', page)
+    assert "clusters" in page  # global name written by write_clusters_js
+
+    # inline script = the page's own logic (drop the src= include)
+    scripts = re.findall(r"<script(?![^>]*src=)[^>]*>(.*?)</script>",
+                         page, flags=re.S)
+    assert scripts, "page has no inline script"
+    js = "\n".join(scripts)
+
+    # generate a real payload
+    labels = np.array([[0], [0], [1], [1], [1]])
+    clusters = extract_clusters(
+        labels, [f"v{i}" for i in range(5)],
+        ["cat", "cat", "dog", "dog", "cat"],
+        starts=[1.0] * 5, ends=[11.0] * 5,
+    )
+    out = str(tmp_path / "data" / "clusters.js")
+    payload = write_clusters_js(clusters, out,
+                                meta_classes={"cat": "animals"})
+    body = open(out).read()
+    assert body.startswith("var clusters = ")  # matches the global read
+
+    entry = payload[0]
+    entry_fields = set(entry)
+    sample_fields = set(entry["samples"][0])
+    topclass_fields = set(entry["top_classes"][0])
+
+    # every property the page dereferences on its data-loop variables
+    # (render(cluster)'s `cluster.`, top_classes map + drawList `c.`,
+    # samples loop `s.`, sort comparator `a.`/`b.`) must be a payload
+    # field at SOME level; then pin the critical per-level sets below.
+    reads = set(re.findall(r"\b(?:cluster|c|s|a|b)\.([A-Za-z_]\w*)", js))
+    known = entry_fields | sample_fields | topclass_fields
+    assert reads <= known, f"page reads unknown fields: {reads - known}"
+
+    # per-level contracts the page depends on
+    assert {"cluster", "size", "purity", "top_classes",
+            "samples"} <= entry_fields
+    assert {"id", "start", "end", "gt", "meta"} <= sample_fields
+    assert {"name", "count"} <= topclass_fields
+
+    # sort dropdown values must be numeric entry fields (b[key] access)
+    options = set(re.findall(r'<option value="(\w+)"', page))
+    assert options, "sort <select> has no options"
+    for key in options:
+        assert key in entry_fields, f"sort key {key!r} not in payload"
+        assert isinstance(entry[key], (int, float))
+
+    # Math.floor(s.start/end) in the embed URL needs numeric seconds
+    assert isinstance(entry["samples"][0]["start"], float)
+    assert isinstance(entry["samples"][0]["end"], float)
+    # purity is rendered as a percentage width -> must be in [0, 1]
+    assert all(0.0 <= e["purity"] <= 1.0 for e in payload)
