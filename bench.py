@@ -29,6 +29,18 @@ import numpy as np
 # 136.4): measured 2026-08-16. Later rounds compare against this.
 BASELINE_CLIPS_PER_SEC_PER_CHIP = 185.6
 
+# Analytic fwd+bwd train-step FLOPs per clip at the flagship config
+# (30x112x112 video, 257x99 audio, 10 heads, K=309), from XLA
+# compiled-HLO cost analysis differenced over two batch sizes so
+# batch-independent work drops out (experiments/step_flops.py, r4).
+# Re-generate with that script if the architecture changes.
+ANALYTIC_STEP_FLOPS_PER_CLIP = {
+    "aligned": 423.02e9,  # MXU-aligned midplanes (flagship)
+    "parity": 451.05e9,   # reference-parity widths
+}
+# TPU v5e bf16 peak per chip (public spec: 197 TFLOP/s bf16)
+V5E_BF16_PEAK_TFLOPS = 197.0
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -145,16 +157,33 @@ def main():
         if BASELINE_CLIPS_PER_SEC_PER_CHIP
         else 1.0
     )
-    print(
-        json.dumps(
-            {
-                "metric": "train_clips_per_sec_per_chip",
-                "value": round(per_chip, 2),
-                "unit": "clips/s/chip",
-                "vs_baseline": round(vs_baseline, 3),
-            }
-        )
+    out = {
+        "metric": "train_clips_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(vs_baseline, 3),
+    }
+    out.update(efficiency_fields(
+        per_chip, args.aligned_midplanes,
+        (args.num_frames, args.crop, args.headcount, args.clusters),
+    ))
+    print(json.dumps(out))
+
+
+def efficiency_fields(per_chip_clips_per_sec, aligned, shape_key):
+    """Absolute efficiency (VERDICT r3 #4): effective TFLOP/s and MFU
+    from the analytic per-clip step FLOPs. Only the flagship shape has a
+    recorded constant — other shapes report clips/s alone."""
+    if tuple(shape_key) != (30, 112, 10, 309):
+        return {}
+    key = "aligned" if aligned else "parity"
+    tflops = (
+        per_chip_clips_per_sec * ANALYTIC_STEP_FLOPS_PER_CLIP[key] / 1e12
     )
+    return {
+        "tflops_effective": round(tflops, 1),
+        "mfu_vs_v5e_bf16_peak": round(tflops / V5E_BF16_PEAK_TFLOPS, 4),
+    }
 
 
 BASELINE_SK_ITERS_PER_SEC = 524.6  # XLA solver, r1 measurement
