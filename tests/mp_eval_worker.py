@@ -24,7 +24,15 @@ def main():
         sys.argv[5],
     )
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    # raise the in-process XLA:CPU collective timeouts: on contended
+    # 1-core hosts the virtual-device threads starve the rendezvous
+    # (SIGABRT at 40 s). The cross-process Gloo init timeout is NOT
+    # flag-reachable — see _warm_gloo below.
+    os.environ["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=4"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    )
     sys.path.insert(0, REPO)
 
     import jax
@@ -35,8 +43,33 @@ def main():
         jax.distributed.initialize(
             f"localhost:{port}", num_processes=nproc, process_id=pid
         )
+        _warm_gloo()
     run(tool, out_path)
     print("MP_EVAL_OK", flush=True)
+
+
+def _warm_gloo():
+    """Establish the cross-process Gloo communicators while the
+    processes are still in lockstep.
+
+    XLA:CPU's Gloo context init has a hardcoded ~30 s KeyValue timeout
+    (not reachable via XLA_FLAGS — measured r4). On a contended 1-core
+    host the two workers' independent jit compiles skew their arrival at
+    the first collective by minutes, so whichever process reaches it
+    first dies waiting for the other's rendezvous keys. Holding both
+    processes at a coordination-service barrier (gRPC — arbitrary
+    timeout) and then running one tiny all-gather establishes the Gloo
+    contexts at ~zero skew; the tool's later collectives reuse the
+    cached communicators however skewed their compiles are.
+    """
+    import jax
+    from jax._src import distributed
+    from jax.experimental import multihost_utils
+
+    distributed.global_state.client.wait_at_barrier(
+        "gloo_warmup", timeout_in_ms=20 * 60 * 1000
+    )
+    multihost_utils.process_allgather(jax.numpy.ones((1,)))
 
 
 def run(tool: str, out_path: str):

@@ -16,7 +16,13 @@ import sys
 def main():
     pid, nproc, port, n_samples = map(int, sys.argv[1:5])
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    # raised in-process collective timeouts: see mp_eval_worker.py
+    # (1-core hosts starve the rendezvous; Gloo init needs _warm_gloo)
+    os.environ["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=4"
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    )
 
     import jax
 
@@ -27,6 +33,9 @@ def main():
     jax.distributed.initialize(
         f"localhost:{port}", num_processes=nproc, process_id=pid
     )
+    from mp_eval_worker import _warm_gloo
+
+    _warm_gloo()  # see mp_eval_worker: Gloo init at lockstep, not post-compile
     import jax.numpy as jnp
     import numpy as np
 

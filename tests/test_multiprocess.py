@@ -48,7 +48,10 @@ def test_two_process_loader_and_sharded_sk(n_samples):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            # generous bound: contended 1-core hosts take >600 s through
+            # the cold cross-process compiles (r4); a real deadlock still
+            # hangs forever, so detection is preserved
+            out, _ = p.communicate(timeout=1500)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -70,7 +73,7 @@ def test_two_process_loader_and_sharded_sk(n_samples):
     assert wsums[0] == wsums[1], wsums
 
 
-def _run_eval_tool(tool: str, nproc: int, out_path: str, timeout=900):
+def _run_eval_tool(tool: str, nproc: int, out_path: str, timeout=1500):
     worker = os.path.join(os.path.dirname(__file__), "mp_eval_worker.py")
     port = _free_port()
     procs = [
