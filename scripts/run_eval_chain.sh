@@ -58,7 +58,7 @@ if [ "$DO_FT" = "finetune" ]; then
   fi
   env $ENV python /root/repo/finetune_video.py \
     --dataset ucf101 --root_dir /tmp/rm_ucf/videos \
-    --data_path /tmp/rm_ucf/ucfTrainTestlist \
+    --data_path /tmp/rm_ucf/ucfTrainTestlist --fold 1 \
     --weights_path "$DUMP/checkpoint.msgpack" \
     --headcount 10 --num_clusters "$K" --clip_len 8 \
     --tpu_aligned_midplanes true --batch_size 8 --epochs 2 \
