@@ -107,29 +107,42 @@ def main() -> None:
                    help="folder layout: {output}/{mode}/{class}/*.mp4 "
                         "(--ds_name folder reads train/ and test/ trees)")
     p.add_argument("--layout", type=str, default="folder",
-                   choices=["folder", "ucf"],
+                   choices=["folder", "ucf", "hmdb"],
                    help="ucf: {output}/videos/{class}/*.mp4 + official-"
-                        "format trainlist01/testlist01 files in "
+                        "format trainlist0{f}/testlist0{f} files in "
                         "{output}/ucfTrainTestlist — the default layout "
                         "finetune_video.py --dataset ucf101 --root_dir "
-                        "{output}/videos expects")
+                        "{output}/videos expects; hmdb: same video tree + "
+                        "{class}_test_split{f}.txt files (tag 1=train "
+                        "2=test) in {output}/splits — the default "
+                        "annotation path for --dataset hmdb51")
+    p.add_argument("--folds", type=int, default=3,
+                   help="ucf/hmdb layouts: official-format fold files to "
+                        "write (the reference protocol is 3-fold, "
+                        "README.md:36); each video's fold group is drawn "
+                        "uniformly, so fold f tests ~1/folds of the "
+                        "corpus and trains on the rest")
     p.add_argument("--test_fraction", type=float, default=0.3,
-                   help="ucf layout: share of videos put in testlist01")
+                   help="ucf/hmdb layouts with --folds 1 only: share of "
+                        "videos put in testlist01 (legacy single-fold "
+                        "split; ignored when folds > 1)")
     args = p.parse_args()
 
     base = np.random.default_rng(args.seed)
     labels = base.integers(0, args.num_classes, size=args.num_videos)
     t = int(round(args.duration * args.fps))
-    train_lines, test_lines = [], []
+    split_layout = args.layout in ("ucf", "hmdb")
+    records = []  # (cls, fname, label, fold group) per video, split layouts
     for i, label in enumerate(labels):
         label = int(label)
         cls = f"class{label:03d}"
-        if args.layout == "ucf":
+        if split_layout:
             d = os.path.join(args.output, "videos", cls)
-            if base.uniform() < args.test_fraction:
-                test_lines.append(f"{cls}/vid{i:05d}.mp4")
+            if args.folds > 1:
+                group = int(base.integers(0, args.folds))
             else:
-                train_lines.append(f"{cls}/vid{i:05d}.mp4 {label + 1}")
+                group = 0 if base.uniform() < args.test_fraction else -1
+            records.append((cls, f"vid{i:05d}.mp4", label, group))
         else:
             d = os.path.join(args.output, args.mode, cls)
         os.makedirs(d, exist_ok=True)
@@ -160,15 +173,59 @@ def main() -> None:
         if (i + 1) % 50 == 0:
             print(f"{i + 1}/{args.num_videos}", flush=True)
     if args.layout == "ucf":
+        # official UCF-101 list format (data/dataset.py::select_fold_ucf101):
+        # trainlist0f lines are "<class>/<file> <1-based label>",
+        # testlist0f lines are "<class>/<file>"
         ann = os.path.join(args.output, "ucfTrainTestlist")
         os.makedirs(ann, exist_ok=True)
-        with open(os.path.join(ann, "trainlist01.txt"), "w") as f:
-            f.write("\n".join(train_lines) + "\n")
-        with open(os.path.join(ann, "testlist01.txt"), "w") as f:
-            f.write("\n".join(test_lines) + "\n")
+        for f in range(1, args.folds + 1):
+            test_group = f - 1 if args.folds > 1 else 0
+            train_lines = [
+                f"{cls}/{fname} {label + 1}"
+                for cls, fname, label, g in records if g != test_group
+            ]
+            test_lines = [
+                f"{cls}/{fname}"
+                for cls, fname, label, g in records if g == test_group
+            ]
+            with open(os.path.join(ann, f"trainlist{f:02d}.txt"), "w") as fh:
+                fh.write("\n".join(train_lines) + "\n")
+            with open(os.path.join(ann, f"testlist{f:02d}.txt"), "w") as fh:
+                fh.write("\n".join(test_lines) + "\n")
+            print(
+                f"fold {f}: {len(train_lines)} train / {len(test_lines)} "
+                f"test"
+            )
         print(
-            f"wrote {len(train_lines)} train / {len(test_lines)} test "
-            f"clips under {args.output}/videos (+ ucfTrainTestlist/)"
+            f"wrote {len(records)} clips under {args.output}/videos "
+            f"(+ ucfTrainTestlist/ x{args.folds} folds)"
+        )
+    elif args.layout == "hmdb":
+        # official HMDB-51 split format (dataset.py::select_fold_hmdb51):
+        # one {class}_test_split{f}.txt per class per fold, lines are
+        # "<file> <tag>" with tag 1=train 2=test (0=unused not emitted)
+        ann = os.path.join(args.output, "splits")
+        os.makedirs(ann, exist_ok=True)
+        classes = sorted({cls for cls, _, _, _ in records})
+        for f in range(1, args.folds + 1):
+            test_group = f - 1 if args.folds > 1 else 0
+            n_train = n_test = 0
+            for cls in classes:
+                lines = []
+                for c, fname, label, g in records:
+                    if c != cls:
+                        continue
+                    tag = 2 if g == test_group else 1
+                    n_train += tag == 1
+                    n_test += tag == 2
+                    lines.append(f"{fname} {tag}")
+                path = os.path.join(ann, f"{cls}_test_split{f}.txt")
+                with open(path, "w") as fh:
+                    fh.write("\n".join(lines) + "\n")
+            print(f"fold {f}: {n_train} train / {n_test} test")
+        print(
+            f"wrote {len(records)} clips under {args.output}/videos "
+            f"(+ splits/ x{args.folds} folds)"
         )
     else:
         print(

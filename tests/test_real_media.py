@@ -345,3 +345,95 @@ def test_make_real_media_ucf_layout(tmp_path, monkeypatch):
     assert len(test_ds) == len(test_lines) * 4
     ex = train_ds.get_example(0, np.random.default_rng(0))
     assert ex["video"].shape == (4, 32, 32, 3)
+
+
+def _import_make_real_media():
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    try:
+        import make_real_media
+    finally:
+        sys.path.pop(0)
+    return make_real_media
+
+
+def test_make_real_media_three_folds(tmp_path, monkeypatch):
+    """--folds 3 (default) writes the full official 3-fold protocol
+    (reference README.md:36): each video tests in exactly ONE fold, every
+    fold's train+test partitions the corpus, and folds 2/3 load through
+    the dataset exactly like fold 1."""
+    import sys
+
+    make_real_media = _import_make_real_media()
+    out = tmp_path / "ucf3"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["make_real_media.py", "--output", str(out), "--num_videos", "12",
+         "--num_classes", "2", "--frame_size", "64", "--duration", "1.5",
+         "--layout", "ucf", "--seed", "3"],
+    )
+    make_real_media.main()
+    ann = out / "ucfTrainTestlist"
+    all_tests = []
+    for f in (1, 2, 3):
+        train = (ann / f"trainlist{f:02d}.txt").read_text().splitlines()
+        test = (ann / f"testlist{f:02d}.txt").read_text().splitlines()
+        train = [ln for ln in train if ln.strip()]
+        test = [ln for ln in test if ln.strip()]
+        assert len(train) + len(test) == 12
+        assert all(" " in ln for ln in train)
+        assert all(" " not in ln for ln in test)
+        # per-fold train/test are disjoint over paths
+        assert not {ln.split(" ")[0] for ln in train} & set(test)
+        all_tests.extend(test)
+    # the 3 test lists partition the corpus: every video tests exactly once
+    assert len(all_tests) == 12 and len(set(all_tests)) == 12
+
+    for f in (2, 3):
+        ds = AVideoDataset(
+            ds_name="ucf101", root_dir=str(out / "videos"), mode="train",
+            fold=f, num_frames=4, train_crop_size=32, decode_audio=False,
+            path_to_data_dir=str(tmp_path / f"meta{f}"),
+        )
+        n_test = len([ln for ln in (
+            ann / f"testlist{f:02d}.txt").read_text().splitlines()
+            if ln.strip()])
+        assert len(ds) == 12 - n_test
+
+
+def test_make_real_media_hmdb_layout(tmp_path, monkeypatch):
+    """hmdb layout: per-class *_test_split{f}.txt files (tag 1=train
+    2=test) in {out}/splits, loadable as --dataset hmdb51 with the
+    DEFAULT annotation path (dataset.py::select_fold_hmdb51)."""
+    import sys
+
+    make_real_media = _import_make_real_media()
+    out = tmp_path / "hmdb"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["make_real_media.py", "--output", str(out), "--num_videos", "12",
+         "--num_classes", "2", "--frame_size", "64", "--duration", "1.5",
+         "--layout", "hmdb", "--seed", "5"],
+    )
+    make_real_media.main()
+    splits = sorted((out / "splits").glob("*_test_split*.txt"))
+    assert len(splits) == 2 * 3  # per class per fold
+    seen_test = 0
+    for f in (1, 2, 3):
+        train_ds = AVideoDataset(
+            ds_name="hmdb51", root_dir=str(out / "videos"), mode="train",
+            fold=f, num_frames=4, train_crop_size=32, decode_audio=False,
+            path_to_data_dir=str(tmp_path / f"meta{f}"),
+        )
+        test_ds = AVideoDataset(
+            ds_name="hmdb51", root_dir=str(out / "videos"), mode="test",
+            fold=f, num_frames=4, test_crop_size=32, num_spatial_crops=1,
+            num_ensemble_views=1, decode_audio=False,
+            path_to_data_dir=str(tmp_path / f"meta{f}t"),
+        )
+        assert len(train_ds) + len(test_ds) == 12
+        seen_test += len(test_ds)
+        ex = train_ds.get_example(0, np.random.default_rng(0))
+        assert ex["video"].shape == (4, 32, 32, 3)
+    assert seen_test == 12  # each video tests in exactly one fold
