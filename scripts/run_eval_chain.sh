@@ -49,8 +49,10 @@ env $ENV python /root/repo/video_retrieval.py \
   2>&1 | tee "$OUT/retrieval.txt" | tail -6
 
 if [ "$DO_FT" = "finetune" ]; then
-  echo "=== [4/4] finetune_video.py (toy UCF-layout real media)"
-  if [ ! -d /tmp/rm_ucf/videos ]; then
+  echo "=== [4/4] finetune_video.py (toy UCF-layout real media, 3 folds)"
+  # regenerate if absent OR if the corpus predates the 3-fold lists
+  if [ ! -f /tmp/rm_ucf/ucfTrainTestlist/trainlist03.txt ]; then
+    rm -rf /tmp/rm_ucf
     env PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python \
       /root/repo/scripts/make_real_media.py --output /tmp/rm_ucf \
       --num_videos 48 --num_classes 4 --frame_size 64 --duration 1.5 \
@@ -58,7 +60,7 @@ if [ "$DO_FT" = "finetune" ]; then
   fi
   env $ENV python /root/repo/finetune_video.py \
     --dataset ucf101 --root_dir /tmp/rm_ucf/videos \
-    --data_path /tmp/rm_ucf/ucfTrainTestlist --fold 1 \
+    --data_path /tmp/rm_ucf/ucfTrainTestlist --fold 1,2,3 \
     --weights_path "$DUMP/checkpoint.msgpack" \
     --headcount 10 --num_clusters "$K" --clip_len 8 \
     --tpu_aligned_midplanes true --batch_size 8 --epochs 2 \
