@@ -119,30 +119,47 @@ def main() -> None:
     p.add_argument("--folds", type=int, default=3,
                    help="ucf/hmdb layouts: official-format fold files to "
                         "write (the reference protocol is 3-fold, "
-                        "README.md:36); each video's fold group is drawn "
-                        "uniformly, so fold f tests ~1/folds of the "
-                        "corpus and trains on the rest")
+                        "README.md:36); fold groups are assigned per class "
+                        "by shuffled round-robin (stratified, like HMDB's "
+                        "per-class balanced official splits), so every "
+                        "class with >= folds videos appears in both train "
+                        "and test of every fold")
     p.add_argument("--test_fraction", type=float, default=0.3,
                    help="ucf/hmdb layouts with --folds 1 only: share of "
                         "videos put in testlist01 (legacy single-fold "
                         "split; ignored when folds > 1)")
     args = p.parse_args()
+    if args.folds < 1:
+        p.error(f"--folds must be >= 1 (got {args.folds}); a ucf/hmdb "
+                "corpus without fold lists cannot drive the finetune chain")
 
     base = np.random.default_rng(args.seed)
     labels = base.integers(0, args.num_classes, size=args.num_videos)
     t = int(round(args.duration * args.fps))
     split_layout = args.layout in ("ucf", "hmdb")
+    # Fold groups, assigned up front. folds>1: stratified per class —
+    # shuffle each class's videos, then round-robin over fold groups, so
+    # every class with >= folds videos lands in train AND test of every
+    # fold (matches HMDB's per-class balanced official splits).
+    groups = np.full(args.num_videos, -1, dtype=np.int64)
+    if split_layout:
+        if args.folds > 1:
+            for cls_label in range(args.num_classes):
+                idx = np.flatnonzero(labels == cls_label)
+                base.shuffle(idx)
+                groups[idx] = np.arange(len(idx)) % args.folds
+        else:
+            groups = np.where(
+                base.uniform(size=args.num_videos) < args.test_fraction,
+                0, -1,
+            )
     records = []  # (cls, fname, label, fold group) per video, split layouts
     for i, label in enumerate(labels):
         label = int(label)
         cls = f"class{label:03d}"
         if split_layout:
             d = os.path.join(args.output, "videos", cls)
-            if args.folds > 1:
-                group = int(base.integers(0, args.folds))
-            else:
-                group = 0 if base.uniform() < args.test_fraction else -1
-            records.append((cls, f"vid{i:05d}.mp4", label, group))
+            records.append((cls, f"vid{i:05d}.mp4", label, int(groups[i])))
         else:
             d = os.path.join(args.output, args.mode, cls)
         os.makedirs(d, exist_ok=True)

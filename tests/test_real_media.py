@@ -437,3 +437,50 @@ def test_make_real_media_hmdb_layout(tmp_path, monkeypatch):
         ex = train_ds.get_example(0, np.random.default_rng(0))
         assert ex["video"].shape == (4, 32, 32, 3)
     assert seen_test == 12  # each video tests in exactly one fold
+
+
+def test_make_real_media_rejects_bad_folds(tmp_path, monkeypatch):
+    """--folds < 1 is an argparse error (ADVICE r4): a ucf/hmdb corpus
+    without fold lists would fail the finetune chain much later with a
+    confusing empty-dataset error."""
+    import sys
+
+    make_real_media = _import_make_real_media()
+    monkeypatch.setattr(
+        sys, "argv",
+        ["make_real_media.py", "--output", str(tmp_path / "x"),
+         "--num_videos", "4", "--layout", "ucf", "--folds", "0"],
+    )
+    with pytest.raises(SystemExit):
+        make_real_media.main()
+    assert not (tmp_path / "x").exists()  # rejected before any encoding
+
+
+def test_make_real_media_folds_are_stratified(tmp_path, monkeypatch):
+    """Fold groups are assigned per class by shuffled round-robin
+    (ADVICE r4): every class with >= folds videos appears in BOTH train
+    and test of every fold, like HMDB's per-class balanced splits."""
+    import sys
+
+    make_real_media = _import_make_real_media()
+    out = tmp_path / "strat"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["make_real_media.py", "--output", str(out), "--num_videos", "12",
+         "--num_classes", "2", "--frame_size", "48", "--duration", "1.0",
+         "--layout", "ucf", "--seed", "7"],
+    )
+    make_real_media.main()
+    ann = out / "ucfTrainTestlist"
+    classes = {f"class{c:03d}" for c in (0, 1)}
+    for f in (1, 2, 3):
+        train = [ln for ln in (
+            ann / f"trainlist{f:02d}.txt").read_text().splitlines()
+            if ln.strip()]
+        test = [ln for ln in (
+            ann / f"testlist{f:02d}.txt").read_text().splitlines()
+            if ln.strip()]
+        train_cls = {ln.split("/")[0] for ln in train}
+        test_cls = {ln.split("/")[0] for ln in test}
+        assert train_cls == classes, f"fold {f} train missing a class"
+        assert test_cls == classes, f"fold {f} test missing a class"
