@@ -77,8 +77,118 @@ def test_augment_colorjitter_grayscale_shapes_and_range():
     )
     assert out.shape == x.shape
     assert np.isfinite(out).all()
-    # normalized range bound: x in [0,1] => out in [-2, 2.45]
-    assert out.min() >= -2.01 and out.max() <= 2.45
+    # Post-normalization jitter with factors in [0.6, 1.4] and NO clamp
+    # (reference semantics): |out| <= 2.45 * 1.4^3 + blend slack.
+    assert np.abs(out).max() <= 8.0
+
+
+# ---- exact reference color-jitter parity (video_transforms.py:235-363) ----
+# From-spec numpy oracle of the reference's jitter on TCHW frames. The
+# reference grayscale puts 0.299 on channel index 2 (:262-266, documented
+# as BGR) while the decoder feeds RGB (decoder.py:268) — the oracle
+# replicates the code as written, quirk included.
+
+def _ref_grayscale(images):  # [T, C, H, W]
+    gray = (
+        0.299 * images[:, 2] + 0.587 * images[:, 1] + 0.114 * images[:, 0]
+    )
+    out = np.zeros_like(images)
+    out[:, 0] = gray
+    out[:, 1] = gray
+    out[:, 2] = gray
+    return out
+
+
+def _ref_blend(a, b, alpha):
+    return a * alpha + b * (1.0 - alpha)
+
+
+def _ref_jitter_op(op, alpha, images):
+    if op == 0:  # brightness: blend with zeros (:308-324)
+        return _ref_blend(images, np.zeros_like(images), alpha)
+    if op == 1:  # contrast: blend with per-FRAME mean of gray (:327-345)
+        g = _ref_grayscale(images)
+        g[:] = g.mean(axis=(1, 2, 3), keepdims=True)
+        return _ref_blend(images, g, alpha)
+    # saturation: blend with gray (:348-363)
+    return _ref_blend(images, _ref_grayscale(images), alpha)
+
+
+def test_color_jitter_matches_reference_all_orders():
+    """color_jitter_normalized == the reference transform for every one of
+    the 6 application orders and random per-clip factors, on normalized
+    frames (the space the reference jitters in, :473-495)."""
+    from selavi_tpu.ops.preprocess import (
+        _JITTER_PERMS,
+        color_jitter_normalized,
+    )
+
+    rng = np.random.default_rng(0)
+    b, t, h, w = 6, 3, 5, 4
+    x = rng.normal(0.0, 1.0, (b, t, h, w, 3)).astype(np.float32)
+    for perm_idx, perm in enumerate(_JITTER_PERMS):
+        bf = rng.uniform(0.6, 1.4, b).astype(np.float32)
+        cf = rng.uniform(0.6, 1.4, b).astype(np.float32)
+        sf = rng.uniform(0.6, 1.4, b).astype(np.float32)
+        got = np.asarray(
+            color_jitter_normalized(
+                jnp.asarray(x), jnp.asarray(bf), jnp.asarray(cf),
+                jnp.asarray(sf), jnp.full((b,), perm_idx, np.int32),
+            )
+        )
+        for i in range(b):
+            ref = np.transpose(x[i], (0, 3, 1, 2))  # THWC -> TCHW
+            alphas = {0: bf[i], 1: cf[i], 2: sf[i]}
+            for op in perm:
+                ref = _ref_jitter_op(op, alphas[op], ref)
+            ref = np.transpose(ref, (0, 2, 3, 1))
+            np.testing.assert_allclose(
+                got[i], ref, rtol=1e-4, atol=1e-5,
+                err_msg=f"perm {perm} clip {i}",
+            )
+
+
+def test_augment_grayscale_uses_reference_weights():
+    """The standalone grayscale path (p=0.2) uses the reference's
+    effective-RGB weights (0.114, 0.587, 0.299) on normalized frames."""
+    x = np.random.randint(0, 255, (64, 1, 4, 4, 3), np.uint8)
+    out = np.asarray(
+        augment_video_batch(
+            jnp.asarray(x), jax.random.PRNGKey(3),
+            colorjitter=False, grayscale=True, flip=False,
+        )
+    )
+    norm = (x.astype(np.float32) / 255.0 - 0.45) / 0.225
+    expect_gray = (
+        0.114 * norm[..., 0] + 0.587 * norm[..., 1] + 0.299 * norm[..., 2]
+    )
+    grayed = 0
+    for i in range(64):
+        if np.allclose(out[i], norm[i], atol=1e-5):
+            continue  # not grayed
+        assert np.allclose(
+            out[i], np.repeat(expect_gray[i][..., None], 3, -1), atol=1e-4
+        )
+        grayed += 1
+    assert 1 <= grayed < 64  # p=0.2: some but not all
+
+
+def test_augment_colorjitter_gate_probability():
+    """Jitter applies per clip with p=0.8; unjittered clips are exactly
+    the normalized input (no clamp side effects)."""
+    x = np.random.randint(0, 255, (128, 1, 4, 4, 3), np.uint8)
+    out = np.asarray(
+        augment_video_batch(
+            jnp.asarray(x), jax.random.PRNGKey(5),
+            colorjitter=True, grayscale=False, flip=False,
+        )
+    )
+    norm = (x.astype(np.float32) / 255.0 - 0.45) / 0.225
+    untouched = sum(
+        np.allclose(out[i], norm[i], atol=1e-5) for i in range(128)
+    )
+    # P(untouched)=0.2: binomial(128, .2) far from 0 and far from 128/2
+    assert 8 <= untouched <= 50
 
 
 def test_crops_and_scale_ranges():
