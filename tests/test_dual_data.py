@@ -14,6 +14,9 @@ from selavi_tpu.train.loop import Trainer
 
 from test_train_smoke import make_args
 
+# dual-clip end-to-end training runs — slow tier; the merge gate (plain pytest) still runs these
+pytestmark = pytest.mark.slow
+
 
 def _dual_args(tmp_path, **over):
     over.setdefault("num_data_samples", 16)

@@ -6,6 +6,9 @@ import pytest
 
 from selavi_tpu.eval.get_clusters import dump_cluster_matrices, evaluate_dump
 
+# train->dump->metrics chains over the full model — slow tier; the merge gate (plain pytest) still runs these
+pytestmark = pytest.mark.slow
+
 
 def test_dump_and_evaluate_roundtrip(tmp_path):
     rng = np.random.default_rng(0)

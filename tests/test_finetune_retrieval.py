@@ -1,6 +1,7 @@
 """Finetune LR schedule, model, optimizer groups; retrieval math."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -15,6 +16,10 @@ from selavi_tpu.eval.retrieval import (
     average_features,
     retrieval,
 )
+
+# finetune epochs + retrieval feature sweeps — slow tier; the merge gate
+# (plain pytest) still runs these
+pytestmark = pytest.mark.slow
 
 
 def test_finetune_lr_factor_curve():

@@ -4,6 +4,7 @@ itself into a scrubbed CPU subprocess - the round-1 driver failure mode
 was attaching to the host's real accelerator)."""
 
 import sys
+import pytest
 
 import jax
 import numpy as np
@@ -11,6 +12,9 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 import __graft_entry__ as graft  # noqa: E402
+
+# driver entries incl. the self-isolating multichip dryrun subprocess — slow tier; the merge gate (plain pytest) still runs these
+pytestmark = pytest.mark.slow
 
 
 def test_entry_compiles_and_runs():

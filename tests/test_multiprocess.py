@@ -13,6 +13,9 @@ import sys
 
 import pytest
 
+# real 2-process jax.distributed runs — slow tier; the merge gate (plain pytest) still runs these
+pytestmark = pytest.mark.slow
+
 
 def _free_port() -> int:
     with socket.socket() as s:

@@ -3,12 +3,16 @@
 exactly like the train loop does (VERDICT r1 weak #3)."""
 
 import os
+import pytest
 
 import numpy as np
 
 from selavi_tpu.config import parse_arguments
 from selavi_tpu.data.factory import build_dataset
 from selavi_tpu.train.loop import Trainer
+
+# PCM train->eval chains over the full model — slow tier; the merge gate (plain pytest) still runs these
+pytestmark = pytest.mark.slow
 
 
 def test_pcm_train_dump_eval_roundtrip(tmp_path):

@@ -12,6 +12,9 @@ from selavi_tpu.data.synthetic import SyntheticAVDataset
 from selavi_tpu.parallel.dist import init_signal_handler, signal_received
 from selavi_tpu.train.loop import Trainer
 
+# full Trainer runs + signal-driven checkpoint/exit — slow tier; the merge gate (plain pytest) still runs these
+pytestmark = pytest.mark.slow
+
 
 def test_signal_flag_roundtrip():
     init_signal_handler()

@@ -11,6 +11,9 @@ torch = pytest.importorskip("torch")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+# full-tower torch CPU parity forwards — slow tier; the merge gate (plain pytest) still runs these
+pytestmark = pytest.mark.slow
+
 
 def test_spatial_temporal_conv_pair_matches_torch_conv3d():
     rng = np.random.default_rng(0)

@@ -10,6 +10,9 @@ from selavi_tpu.config import parse_arguments
 from selavi_tpu.data.synthetic import SyntheticAVDataset
 from selavi_tpu.train.loop import Trainer
 
+# full fit() loops on the 8-device mesh — slow tier; the merge gate (plain pytest) still runs these
+pytestmark = pytest.mark.slow
+
 
 def make_args(tmp_path, **over):
     argv = [
