@@ -19,6 +19,7 @@ from selavi_tpu.data.loader import (
     device_prefetch,
 )
 from selavi_tpu.eval.get_clusters import dump_cluster_matrices
+from selavi_tpu.models.resnet_audio import AUDIO_ARCHS
 from selavi_tpu.models import load_model
 from selavi_tpu.parallel.mesh import data_sharding, make_mesh
 from selavi_tpu.train.checkpoint import load_model_parameters
@@ -36,6 +37,9 @@ def parse_args(argv=None):
     parser.add_argument("--weights_path", type=str, required=True)
     parser.add_argument("--output_path", type=str, default="ps_matrices.pkl")
     parser.add_argument("--headcount", type=int, default=10)
+    parser.add_argument("--aud_base_arch", type=str, default="resnet9",
+                        help="audio tower arch the checkpoint was trained "
+                             "with (reference get_clusters.py:224)")
     parser.add_argument("--use_mlp", type="bool", default="True")
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--workers", type=int, default=8)
@@ -64,6 +68,7 @@ def main(argv=None):
 
     model = load_model(
         headcount=args.headcount, num_classes=k, use_mlp=args.use_mlp,
+        aud_base_arch=args.aud_base_arch,
         midplanes_mode="aligned" if args.tpu_aligned_midplanes else "parity",
     )
     video_shape, audio_shape = example_shapes(args, dataset)
@@ -122,6 +127,7 @@ def main(argv=None):
             len(dataset),
             args.output_path,
             sharding=dsh if n_proc > 1 else None,
+            feat_dim_a=AUDIO_ARCHS[args.aud_base_arch][2],
         )
     if jax.process_index() == 0:
         print(f"wrote {args.output_path}")

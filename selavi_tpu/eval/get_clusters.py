@@ -34,6 +34,7 @@ def dump_cluster_matrices(
     out_path: str,
     feat_dim: int = 512,
     sharding=None,
+    feat_dim_a: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Returns (PS_v [H,N,K], labels [N], PS_a [H,N,K]) and writes the
     reference-schema pickle (list of per-head matrices).
@@ -49,7 +50,7 @@ def dump_cluster_matrices(
 
     labels_dev = jnp.zeros(n, jnp.int32)
     feats_v = jnp.zeros((n, feat_dim), jnp.float32)
-    feats_a = jnp.zeros((n, feat_dim), jnp.float32)
+    feats_a = jnp.zeros((n, feat_dim_a or feat_dim), jnp.float32)
     if sharding is not None:
         labels_dev = jax.device_put(labels_dev, sharding)
         feats_v = jax.device_put(feats_v, sharding)

@@ -73,7 +73,13 @@ class SKConfig:
     # (N * bytes/sample), so it is for small/medium datasets or
     # row-sharded multi-chip aggregation.
     cache_group_batches: bool = False
-    feat_dim: int = 512  # encoder GAP feature width
+    feat_dim: int = 512  # video encoder GAP feature width
+    # audio GAP width; None -> feat_dim. Differs for bottleneck audio
+    # towers (resnet50 -> 2048, models/resnet_audio.py::AUDIO_ARCHS) — a
+    # config the reference cannot actually run (its AVModel hardcodes
+    # encoder_dim_a=512, model.py:199-201, so 2048-d features crash its
+    # heads; here the flax heads shape-infer their input width).
+    feat_dim_a: Optional[int] = None
 
 
 import functools
@@ -94,6 +100,7 @@ def aggregate_features(
     n: int,
     feat_dim: int,
     sharding=None,
+    feat_dim_a: Optional[int] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Forward the whole dataset, scatter features into [N, D] by index.
 
@@ -106,7 +113,7 @@ def aggregate_features(
     (sk_utils.py:232-233); here it never has to fit on one chip.
     """
     ps_v = jnp.zeros((n, feat_dim), jnp.float32)
-    ps_a = jnp.zeros((n, feat_dim), jnp.float32)
+    ps_a = jnp.zeros((n, feat_dim_a or feat_dim), jnp.float32)
     if sharding is not None:
         ps_v = jax.device_put(ps_v, sharding)
         ps_a = jax.device_put(ps_a, sharding)
@@ -179,7 +186,7 @@ def cluster(
             batch_iter = make_batch_iter()
         ps_v, ps_a = aggregate_features(
             encode_fn, batch_iter, n, feat_dim=cfg.feat_dim,
-            sharding=feature_sharding,
+            sharding=feature_sharding, feat_dim_a=cfg.feat_dim_a,
         )
 
         # 2. modality alignment at the very first SK step. Both [H,N,K]

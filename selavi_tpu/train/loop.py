@@ -23,6 +23,7 @@ from selavi_tpu.data.loader import (
     device_prefetch,
 )
 from selavi_tpu.models import load_model
+from selavi_tpu.models.resnet_audio import AUDIO_ARCHS
 from selavi_tpu.parallel.dist import memory_pressure, signal_received
 from selavi_tpu.parallel.mesh import (
     data_sharding,
@@ -185,6 +186,9 @@ class Trainer:
             sk_backend=getattr(args, "sk_backend", "auto"),
             sk_m_bf16=getattr(args, "sk_bf16", False),
             cache_group_batches=getattr(args, "sk_cache_batches", False),
+            feat_dim_a=AUDIO_ARCHS[
+                getattr(args, "aud_base_arch", "resnet9")
+            ][2],
         )
         self.sk_schedule = make_sk_schedule(
             args.epochs,

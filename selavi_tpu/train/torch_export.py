@@ -107,8 +107,18 @@ def export_audio_tower(
     prefix: str = "audio_network.base.",
     stage_blocks: Tuple[int, ...] = (1, 1, 1, 1),
 ) -> Dict[str, np.ndarray]:
-    """AudioResNet trees -> torchvision ResNet (BasicBlock) keys."""
+    """AudioResNet trees -> torchvision ResNet keys.
+
+    Handles BasicBlock (resnet9/18/34: conv1/bn1, conv2/bn2
+    [, downsample]) and Bottleneck (resnet50: conv1..3/bn1..3
+    [, downsample]) block layouts; the kind is detected from the flax
+    block names."""
     sd: Dict[str, np.ndarray] = {}
+    bottleneck = any(k.startswith("Bottleneck2D_") for k in params)
+    block_cls = "Bottleneck2D" if bottleneck else "BasicBlock2D"
+    pairs = [("conv1", "bn1"), ("conv2", "bn2")]
+    if bottleneck:
+        pairs.append(("conv3", "bn3"))
 
     def put_convbn(tree_p: dict, tree_bs: dict, tconv: str, tbn: str):
         sd[f"{tconv}.weight"] = _conv_out(tree_p["Conv_0"]["kernel"])
@@ -120,14 +130,14 @@ def export_audio_tower(
     for stage, nblocks in enumerate(stage_blocks, 1):
         for b in range(nblocks):
             t = f"{prefix}layer{stage}.{b}."
-            bname = f"BasicBlock2D_{block_idx}"
+            bname = f"{block_cls}_{block_idx}"
             inner_p, inner_bs = params[bname], batch_stats[bname]
-            put_convbn(inner_p["ConvBN_0"], inner_bs["ConvBN_0"],
-                       t + "conv1", t + "bn1")
-            put_convbn(inner_p["ConvBN_1"], inner_bs["ConvBN_1"],
-                       t + "conv2", t + "bn2")
-            if "ConvBN_2" in inner_p:
-                put_convbn(inner_p["ConvBN_2"], inner_bs["ConvBN_2"],
+            for j, (conv_i, bn_i) in enumerate(pairs):
+                put_convbn(inner_p[f"ConvBN_{j}"], inner_bs[f"ConvBN_{j}"],
+                           t + conv_i, t + bn_i)
+            ds = f"ConvBN_{len(pairs)}"
+            if ds in inner_p:
+                put_convbn(inner_p[ds], inner_bs[ds],
                            t + "downsample.0", t + "downsample.1")
             block_idx += 1
     return sd
@@ -275,16 +285,22 @@ def save_reference_checkpoint(
 def _infer_audio_stage_blocks(audio_params: dict) -> Tuple[int, ...]:
     """Recover the audio ResNet's stage structure from its param keys.
 
-    The flax tower names blocks flatly (``BasicBlock2D_{i}``,
-    models/resnet_audio.py:134-139); the reference's torchvision layout
-    needs them regrouped into ``layer{1..4}.{b}``. Total block count
-    identifies the arch (AUDIO_ARCHS); bottleneck towers (resnet50) have
-    no torchvision-BasicBlock export mapping."""
-    if any(k.startswith("Bottleneck2D_") for k in audio_params):
-        raise NotImplementedError(
-            "audio resnet50 (bottleneck) export to the reference layout "
-            "is not supported"
+    The flax tower names blocks flatly (``BasicBlock2D_{i}`` /
+    ``Bottleneck2D_{i}``, models/resnet_audio.py:134-139); the
+    reference's torchvision layout needs them regrouped into
+    ``layer{1..4}.{b}``. Total block count identifies the arch
+    (AUDIO_ARCHS: resnet9 (1,1,1,1), resnet18 (2,2,2,2), resnet34 AND
+    resnet50 (3,4,6,3) — the 16-block counts coincide; the block kind is
+    detected separately in export_audio_tower)."""
+    if any(k.startswith("Bottleneck2D_", 0) for k in audio_params):
+        nblocks = sum(
+            1 for k in audio_params if k.startswith("Bottleneck2D_")
         )
+        if nblocks != 16:
+            raise ValueError(
+                f"unrecognized bottleneck audio tower: {nblocks} blocks"
+            )
+        return (3, 4, 6, 3)
     nblocks = sum(
         1 for k in audio_params if k.startswith("BasicBlock2D_")
     )

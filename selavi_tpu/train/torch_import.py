@@ -124,14 +124,28 @@ def import_video_tower(sd: Dict[str, np.ndarray], prefix="video_network.base."):
 def import_audio_tower(
     sd: Dict[str, np.ndarray],
     prefix="audio_network.base.",
-    stage_blocks=(1, 1, 1, 1),
+    stage_blocks=None,
 ):
-    """torchvision ResNet (BasicBlock) -> (params, batch_stats) for
-    AudioResNet. Flax auto-names unnamed submodules in call order:
-    stem ConvBN_0, then per block ConvBN_{i} in order conv1, conv2
-    [, downsample]."""
+    """torchvision ResNet -> (params, batch_stats) for AudioResNet.
+
+    Handles BasicBlock (resnet9/18/34) AND Bottleneck (resnet50) layouts;
+    both the block kind (``layer1.0.conv3`` present => Bottleneck) and the
+    per-stage block counts are auto-detected from the state-dict keys when
+    ``stage_blocks`` is None. Flax auto-names unnamed submodules in call
+    order: stem ConvBN_0, then per block ConvBN_{i} in order conv1, conv2
+    [, conv3][, downsample]."""
     p: dict = {}
     bs: dict = {}
+    bottleneck = f"{prefix}layer1.0.conv3.weight" in sd
+    if stage_blocks is None:
+        stage_blocks = tuple(
+            sum(
+                1
+                for b in range(64)
+                if f"{prefix}layer{stage}.{b}.conv1.weight" in sd
+            )
+            for stage in range(1, 5)
+        )
 
     def convbn(tconv, tbn):
         params, stats = _bn(sd, tbn)
@@ -153,17 +167,21 @@ def import_audio_tower(
         idx += 1
 
     put(f"{prefix}conv1", f"{prefix}bn1")
+    pairs = (("conv1", "bn1"), ("conv2", "bn2"))
+    if bottleneck:
+        pairs = pairs + (("conv3", "bn3"),)
+    block_cls = "Bottleneck2D" if bottleneck else "BasicBlock2D"
     block_idx = 0
     for stage, nblocks in enumerate(stage_blocks, 1):
         for b in range(nblocks):
             t = f"{prefix}layer{stage}.{b}."
-            # flax call order inside BasicBlock2D: ConvBN(conv1/bn1),
-            # ConvBN(conv2/bn2), optional ConvBN(downsample)
-            bname = f"BasicBlock2D_{block_idx}"
+            # flax call order inside the block: ConvBN per conv/bn pair,
+            # then the optional ConvBN(downsample)
+            bname = f"{block_cls}_{block_idx}"
             inner_p: dict = {}
             inner_bs: dict = {}
             j = 0
-            for conv_i, bn_i in (("conv1", "bn1"), ("conv2", "bn2")):
+            for conv_i, bn_i in pairs:
                 params, stats = convbn(t + conv_i, t + bn_i)
                 inner_p[f"ConvBN_{j}"] = params
                 inner_bs[f"ConvBN_{j}"] = stats
@@ -248,7 +266,7 @@ def import_heads(
 
 def import_reference_checkpoint(
     path: str, headcount: int = 10, use_mlp: bool = True,
-    audio_stage_blocks=(1, 1, 1, 1),
+    audio_stage_blocks=None,
 ):
     """Full AVModel import: returns (params, batch_stats) numpy trees
     matching ``selavi_tpu.models.AVModel`` (conv_impl='3d')."""

@@ -213,6 +213,52 @@ def test_resnet18_audio_export_structure():
     )
 
 
+def test_resnet50_bottleneck_export_import_roundtrip():
+    """resnet50 (Bottleneck) audio towers export to the torchvision
+    Bottleneck layout (conv1..3/bn1..3 + downsample) and import back
+    bit-exactly (closes the r4 NotImplementedError edge)."""
+    from selavi_tpu.train.torch_export import (
+        _infer_audio_stage_blocks,
+        export_audio_tower,
+    )
+    from selavi_tpu.train.torch_import import import_audio_tower
+
+    model = load_model(headcount=1, num_classes=4, aud_base_arch="resnet50")
+    rng = jax.random.PRNGKey(2)
+    video = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    audio = jnp.zeros((1, 40, 51, 1), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, video, audio,
+                           train=False)
+    ap = jax.tree.map(np.asarray, variables["params"])["audio_network"]
+    abs_ = jax.tree.map(np.asarray, variables["batch_stats"])[
+        "audio_network"
+    ]
+    stage_blocks = _infer_audio_stage_blocks(ap)
+    assert stage_blocks == (3, 4, 6, 3)
+    sd = export_audio_tower(ap, abs_, stage_blocks=stage_blocks)
+    # torchvision resnet50 shape spots: bottleneck 1x1 -> 3x3 -> 1x1 x4,
+    # every stage's block 0 carries a downsample (64->256 even at stride 1)
+    assert sd["audio_network.base.layer1.0.conv1.weight"].shape == (
+        64, 64, 1, 1,
+    )
+    assert sd["audio_network.base.layer1.0.conv3.weight"].shape == (
+        256, 64, 1, 1,
+    )
+    assert sd["audio_network.base.layer1.0.downsample.0.weight"].shape == (
+        256, 64, 1, 1,
+    )
+    assert sd["audio_network.base.layer4.2.conv3.weight"].shape == (
+        2048, 512, 1, 1,
+    )
+    assert "audio_network.base.layer1.1.downsample.0.weight" not in sd
+    # roundtrip: import back (kind + stage structure auto-detected)
+    p2, bs2 = import_audio_tower(sd)
+    for a, b in zip(jax.tree.leaves(ap), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(abs_), jax.tree.leaves(bs2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_linear_head_checkpoint_exports():
     """use_mlp=False heads have no BN, so flax's batch_stats has no
     heads_v/heads_a entries — export must not KeyError (ADVICE r2)."""
