@@ -45,7 +45,10 @@ run_once() {
     # wedge detection by CPU time, not log mtime (SK aggregation is
     # legitimately silent for minutes on contended 1-core hosts)
     cpu=$(awk '{print $14+$15}' /proc/$PID/stat 2>/dev/null || echo 0)
-    if [ "$cpu" -le "${prev_cpu:-0}" ]; then
+    # require REAL progress (>2 s CPU per minute): a wedged process's idle
+    # loader threads still tick a few jiffies (observed r5: ~7 ticks/5 min
+    # while fully wedged), which defeats a plain <= check
+    if [ "$cpu" -le "$((${prev_cpu:-0} + 200))" ]; then
       stuck=$((stuck + 60))
     else
       stuck=0

@@ -47,7 +47,9 @@ run_once() {
     # are legitimately silent >12 min on contended 1-core hosts, while a
     # relay wedge burns ~zero CPU in a native wait
     cpu=$(awk '{print $14+$15}' /proc/$PID/stat 2>/dev/null || echo 0)
-    if [ "$cpu" -le "${prev_cpu:-0}" ]; then
+    # >2 s CPU/minute required: idle loader threads of a wedged process
+    # still tick a few jiffies, defeating a plain <= check (observed r5)
+    if [ "$cpu" -le "$((${prev_cpu:-0} + 200))" ]; then
       stuck=$((stuck + 60))
     else
       stuck=0
